@@ -1,0 +1,90 @@
+"""Posting-block codec: delta-encoded doc ids + per-block bit-packed
+parallel arrays (ids / tfs / dls), plus block-max metadata.
+
+This is the engine's PDX layout (reference: transposed fixed-capacity
+cluster buffers, /root/reference/include/pdx/layout.hpp:20-87 and
+cluster.hpp:17-105): a posting list is partition-decomposed into fixed
+size blocks; within a block the attributes are stored as parallel packed
+arrays ("vertical" decomposition), and each block carries the metadata
+(first/last doc, max tf, min dl, gmax) that the pruned scan uses to skip
+it — the role ADSampling thresholds play in the reference
+(adsampling.hpp:91-98).
+
+Pure numpy; runs inside Arrow-batched UDFs. Bit widths are per-block
+(frame-of-reference style), chosen from the block's actual value range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pdx_spark.config import BM25Params
+from pdx_spark.functions.bm25 import tfnorm_np
+
+
+def bit_width(values: np.ndarray) -> int:
+    if len(values) == 0:
+        return 0
+    m = int(values.max())
+    return m.bit_length() if m > 0 else 0
+
+
+def pack(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack uint64 values at `width` bits each, little-endian bit order."""
+    if width == 0:
+        return b""
+    v = values.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8).ravel()
+    pad = (-len(bits)) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def unpack(buf: bytes, width: int, n: int) -> np.ndarray:
+    if width == 0:
+        return np.zeros(n, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                         bitorder="little")[: n * width]
+    bits = bits.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  shard: int, term: str, block_size: int,
+                  avgdl: float, params: BM25Params) -> list[dict]:
+    """One (term, shard) posting run (doc_ids strictly increasing) ->
+    list of SEGMENTS-schema dicts."""
+    out = []
+    n = len(doc_ids)
+    for b, start in enumerate(range(0, n, block_size)):
+        ids = doc_ids[start:start + block_size].astype(np.int64)
+        tf = tfs[start:start + block_size].astype(np.int64)
+        dl = dls[start:start + block_size].astype(np.int64)
+        first, last = int(ids[0]), int(ids[-1])
+        deltas = np.diff(ids, prepend=first)          # deltas[0] == 0
+        tfm1 = tf - 1                                  # tf >= 1 always
+        g = tfnorm_np(tf, dl, avgdl, params)
+        ids_bw, tfs_bw, dls_bw = bit_width(deltas), bit_width(tfm1), bit_width(dl)
+        out.append({
+            "term": term, "shard": int(shard), "block_id": int(b),
+            "n": int(len(ids)), "first_doc": first, "last_doc": last,
+            "max_tf": int(tf.max()), "min_dl": int(dl.min()),
+            "gmax": float(g.max()),
+            "ids_bw": ids_bw, "tfs_bw": tfs_bw, "dls_bw": dls_bw,
+            "ids": pack(deltas, ids_bw), "tfs": pack(tfm1, tfs_bw),
+            "dls": pack(dl, dls_bw),
+        })
+    return out
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SEGMENTS row (dict-like / pandas row) -> (doc_ids, tfs, dls)."""
+    n = int(row["n"])
+    deltas = unpack(row["ids"], int(row["ids_bw"]), n)
+    doc_ids = int(row["first_doc"]) + np.cumsum(deltas)
+    tfs = unpack(row["tfs"], int(row["tfs_bw"]), n) + 1
+    dls = unpack(row["dls"], int(row["dls_bw"]), n)
+    return doc_ids, tfs, dls

@@ -1,0 +1,191 @@
+"""Index build pipeline (the analog of PDXIndex::BuildIndex,
+/root/reference/include/pdx/index.hpp:335-403).
+
+Dataflow (all DataFrame; Python only inside Arrow-batched block encoding):
+
+  transcripts ->(assign_doc_ids)-> corpus+doc_id
+     ├── docs side table (metadata + dl + text_hash)          [parquet]
+     ├── corpus stats agg (N, avgdl)                          [manifest]
+     ├── postings (term, doc_id, tf, dl)  = tokenize+explode+groupBy
+     │      ├── term_stats groupBy(term)                      [parquet]
+     │      └── + shard = doc_id / docs_per_shard
+     │          -> shuffle by shard -> applyInPandas encode   [parquet]
+     └── directory = segments groupBy(term, shard)            [parquet]
+
+Skew: sharding is by *doc range*, so a Zipf-head term's postings spread
+across all shards instead of hammering one reducer — the hot-term
+analog of the reference's balanced cluster capacities (cluster.hpp:22).
+The only groupBy keyed on raw term is term_stats, which is safe because
+Spark plans a map-side partial count before the shuffle.
+
+Resumability (north rule): segments build is split into `n_chunks`
+doc-range chunks; each chunk commits atomically (tmp dir -> rename) and
+is recorded in the manifest with lineage + metrics; `resume=True` skips
+completed chunks. Analog of Save/Restore (index.hpp:213-267).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdx_spark import schemas
+from pdx_spark.config import BM25Params, IndexConfig, manifest_params
+from pdx_spark.functions.blocks import encode_blocks
+from pdx_spark.operators import corpus as C
+
+MANIFEST = "manifest.json"
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def _segment_encoder(cfg: IndexConfig, avgdl: float, params: BM25Params):
+    """applyInPandas body: one shard's postings -> SEGMENTS rows."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        shard = int(pdf["shard"].iloc[0])
+        # term run boundaries
+        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(terms)]])
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            rows.extend(encode_blocks(doc_ids[s:e], tfs[s:e], dls[s:e],
+                                      shard, str(terms[s]),
+                                      cfg.block_size, avgdl, params))
+        return pd.DataFrame(rows, columns=[f.name for f in schemas.SEGMENTS.fields])
+    return fn
+
+
+class Indexer:
+    def __init__(self, spark, params: BM25Params | None = None,
+                 cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.params = params or BM25Params()
+        self.cfg = cfg or IndexConfig()
+
+    # -- paths -------------------------------------------------------------
+    @staticmethod
+    def _p(path, *parts):
+        return os.path.join(path, *parts)
+
+    # -- build -------------------------------------------------------------
+    def build(self, transcripts: DataFrame, path: str, *,
+              n_chunks: int = 1, resume: bool = False) -> dict:
+        """Build a full index at `path`; returns the manifest. `resume=True`
+        continues a partial build (completed stages/chunks are skipped)."""
+        t0 = time.time()
+        os.makedirs(path, exist_ok=True)
+        manifest_path = os.path.join(path, MANIFEST)
+        if resume and os.path.exists(manifest_path):
+            manifest = read_manifest(path)
+        else:
+            if os.path.exists(manifest_path):
+                shutil.rmtree(path)
+                os.makedirs(path, exist_ok=True)
+            manifest = {
+                "format_version": self.cfg.format_version,
+                "params": manifest_params(self.params, self.cfg),
+                "stage": "init", "chunks": {}, "n_chunks": n_chunks,
+                "segment_dirs": [], "deltas": [], "tombstones": 0,
+                "lineage": [],
+            }
+            _write_manifest(path, manifest)
+
+        # ---- stage A: docs + stats (one pass over the corpus) ----
+        docs_path = self._p(path, "docs")
+        if manifest["stage"] == "init":
+            with_ids = C.assign_doc_ids(transcripts)
+            with_ids.persist()
+            docs = C.build_docs(with_ids)
+            docs.write.mode("overwrite").parquet(docs_path)
+            posts = C.postings(with_ids)
+            posts.write.mode("overwrite").parquet(self._p(path, "postings_tmp"))
+            with_ids.unpersist()
+
+            docs = self.spark.read.schema(schemas.DOCS).parquet(docs_path)
+            n_docs, avgdl = C.corpus_stats(docs)
+            posts = self.spark.read.parquet(self._p(path, "postings_tmp"))
+            ts = C.term_stats(posts, n_docs, avgdl, self.params)
+            ts.sort("term").write.mode("overwrite").parquet(self._p(path, "term_stats"))
+            manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl)
+            manifest["lineage"].append(
+                {"stage": "docs+stats", "rows": n_docs, "sec": round(time.time() - t0, 2)})
+            _write_manifest(path, manifest)
+
+        n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+
+        # ---- stage B: blocked segments, chunked + resumable ----
+        if manifest["stage"] == "segments":
+            posts = self.spark.read.parquet(self._p(path, "postings_tmp"))
+            posts = posts.withColumn("shard", self.cfg.shard_of_expr())
+            enc = _segment_encoder(self.cfg, avgdl, self.params)
+            n_chunks = manifest["n_chunks"]
+            for chunk in range(n_chunks):
+                key = str(chunk)
+                if manifest["chunks"].get(key, {}).get("status") == "done":
+                    continue
+                tc = time.time()
+                part = posts.filter(F.col("shard") % n_chunks == chunk) \
+                    if n_chunks > 1 else posts
+                seg = part.groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS)
+                final = self._p(path, "segments", "base", f"chunk-{chunk}")
+                tmp = final + ".tmp"
+                seg.sortWithinPartitions("term", "shard", "block_id") \
+                   .write.mode("overwrite").parquet(tmp)
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.replace(tmp, final)
+                seg_read = self.spark.read.parquet(final)
+                stats = seg_read.agg(
+                    F.count("*").alias("blocks"),
+                    F.sum("n").alias("postings")).collect()[0]
+                manifest["chunks"][key] = {
+                    "status": "done", "blocks": int(stats["blocks"]),
+                    "postings": int(stats["postings"] or 0),
+                    "sec": round(time.time() - tc, 2)}
+                _write_manifest(path, manifest)
+            manifest["segment_dirs"] = ["segments/base"]
+            manifest["stage"] = "directory"
+            _write_manifest(path, manifest)
+
+        # ---- stage C: directory (2-level routing, L0 analog) ----
+        if manifest["stage"] == "directory":
+            seg = (self.spark.read.schema(schemas.SEGMENTS)
+                   .option("recursiveFileLookup", "true")
+                   .parquet(self._p(path, "segments", "base")))
+            (seg.groupBy("term", "shard")
+                .agg(F.count("*").cast("int").alias("n_blocks"),
+                     F.sum("n").cast("long").alias("n_postings"),
+                     F.max("gmax").alias("gmax"))
+                .sort("term", "shard")
+                .write.mode("overwrite").parquet(self._p(path, "directory")))
+            shutil.rmtree(self._p(path, "postings_tmp"), ignore_errors=True)
+            manifest["stage"] = "complete"
+            manifest["lineage"].append(
+                {"stage": "build_complete", "sec": round(time.time() - t0, 2)})
+            _write_manifest(path, manifest)
+
+        return manifest

@@ -1,0 +1,340 @@
+"""Query serving: block-max pruned top-k BM25 over the blocked segments.
+
+Mirrors the reference's pruned scan (PDXearch::Search,
+/root/reference/include/pdx/searcher.hpp:596-724), re-shaped for Spark:
+
+  1. Query prep on the driver: tokenize, fetch idf of query terms from
+     the term_stats parquet (filter pushdown on the sorted `term`
+     column) — analog of rotate-the-query (searcher.hpp:602-613).
+  2. Seed scan ("Start", searcher.hpp:218-281): exactly score the most
+     promising shards per the broadcast directory (highest summed
+     upper bound first — PDX's "most promising clusters first"),
+     seeding the pruning threshold θ with the k-th best score.
+  3. Main scan ("Warmup/Prune", searcher.hpp:376-540): only shards whose
+     directory upper bound can still beat θ are read (left-semi join —
+     partition pruning by score metadata); inside each shard the scorer
+     builds a per-doc upper-bound array from block metadata alone (no
+     decode) with a range-add/cumsum trick, masks docs below θ, skips
+     blocks containing no surviving candidate, and fully scores the
+     rest vectorized (numpy is our SIMD; scalar_computers.hpp:19-44's
+     role). Exactness: every block containing a candidate is decoded,
+     so candidate scores are complete; pruned docs provably score < θ.
+  4. Global merge: per-shard top-k union -> window top-k per query
+     (Spark's TakeOrderedAndProject-equivalent), tie-break
+     (score desc, doc_id asc).
+
+Everything between steps is a DataFrame; the scorer is one Arrow-batched
+applyInPandas per shard. Queries run as a batch (one pass scores all
+queries of the batch — amortizes job overhead, SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdx_spark import schemas
+from pdx_spark.config import BM25Params, IndexConfig
+from pdx_spark.functions.blocks import decode_block
+from pdx_spark.functions.bm25 import idf_np, tfnorm_np
+from pdx_spark.functions.tokenize import tokenize_py
+from pdx_spark.operators.indexer import read_manifest
+
+_THETA_GUARD = 1e-9  # float-monotonicity guard on upper-bound comparisons
+
+
+def _shard_scorer(payload: dict, has_mask: bool):
+    """Build the per-shard scoring function.
+
+    payload: {queries: [(qid, [terms sorted], k, theta|None)],
+              idf: {term: float}, avgdl, k1, b, docs_per_shard}
+    has_mask: scorer receives a second cogrouped frame of
+              (shard, doc_id, p) rows — p=1 allowed-by-predicate,
+              p=0 tombstoned. (reference analog: selection vectors,
+              db_mock/predicate_evaluator.hpp:9-31)
+    """
+    queries = payload["queries"]
+    idf = payload["idf"]
+    avgdl = payload["avgdl"]
+    params = BM25Params(k1=payload["k1"], b=payload["b"])
+    width = payload["docs_per_shard"]
+    has_predicate = payload.get("has_predicate", False)
+    out_cols = ["query_id", "doc_id", "score"]
+
+    def score_shard(seg_pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None):
+        if len(seg_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        shard = int(seg_pdf["shard"].iloc[0])
+        base = shard * width
+
+        # doc-level allow/block mask for this shard
+        allow = None
+        if mask_pdf is not None and (has_predicate or len(mask_pdf)):
+            if has_predicate:
+                allow = np.zeros(width, dtype=bool)
+                ok = mask_pdf.loc[mask_pdf["p"] == 1, "doc_id"].to_numpy() - base
+                allow[ok] = True
+            else:
+                allow = np.ones(width, dtype=bool)
+            bad = mask_pdf.loc[mask_pdf["p"] == 0, "doc_id"].to_numpy() - base
+            allow[bad] = False
+
+        # group block rows by term (term -> row indices, block_id order)
+        seg_pdf = seg_pdf.sort_values(["term", "block_id"], kind="mergesort")
+        terms_arr = seg_pdf["term"].to_numpy()
+        first = seg_pdf["first_doc"].to_numpy(dtype=np.int64) - base
+        last = seg_pdf["last_doc"].to_numpy(dtype=np.int64) - base
+        gmax = seg_pdf["gmax"].to_numpy(dtype=np.float64)
+        change = np.nonzero(terms_arr[1:] != terms_arr[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(terms_arr)]])
+        term_rows = {str(terms_arr[s]): (s, e) for s, e in zip(starts, ends)}
+
+        records = None  # lazy row materialization for decode
+        decoded: dict[int, tuple] = {}
+
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms, k, theta in queries:
+            present = [t for t in qterms if t in term_rows]
+            if not present:
+                continue
+            # upper-bound array from metadata only (range-add + cumsum)
+            diff = np.zeros(width + 1, dtype=np.float64)
+            for t in present:
+                s, e = term_rows[t]
+                w = idf[t] * gmax[s:e]
+                np.add.at(diff, first[s:e], w)
+                np.add.at(diff, last[s:e] + 1, -w)
+            ub = np.cumsum(diff[:width])
+            cand = ub > 0
+            if theta is not None:
+                cand &= ub >= theta - _THETA_GUARD * abs(theta)
+            if allow is not None:
+                cand &= allow
+            if not cand.any():
+                continue
+            ccum = np.concatenate([[0], np.cumsum(cand)])  # block-skip test
+
+            if records is None:
+                records = seg_pdf.to_dict("records")
+            scores = np.zeros(width, dtype=np.float64)
+            for t in present:  # sorted term order == oracle accumulation order
+                w_idf = idf[t]
+                s, e = term_rows[t]
+                for r in range(s, e):
+                    lo, hi = first[r], last[r]
+                    if ccum[hi + 1] - ccum[lo] == 0:
+                        continue  # no surviving candidate in block
+                    if r not in decoded:
+                        decoded[r] = decode_block(records[r])
+                    ids, tfs, dls = decoded[r]
+                    scores[ids - base] += w_idf * tfnorm_np(tfs, dls, avgdl, params)
+
+            sel = np.flatnonzero(cand & (scores > 0))
+            if len(sel) == 0:
+                continue
+            order = np.lexsort((sel, -scores[sel]))[:k]
+            top = sel[order]
+            out_q.extend([qid] * len(top))
+            out_d.extend((top + base).tolist())
+            out_s.extend(scores[top].tolist())
+
+        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int32"),
+                             "doc_id": pd.Series(out_d, dtype="int64"),
+                             "score": pd.Series(out_s, dtype="float64")})
+
+    if has_mask:
+        def fn(key, seg_pdf, mask_pdf):  # cogrouped variant
+            return score_shard(seg_pdf, mask_pdf)
+    else:
+        def fn(seg_pdf):
+            return score_shard(seg_pdf, None)
+    return fn
+
+
+class Searcher:
+    """Loaded index handle (analog of the restored PDX index +
+    PDXearch searcher, index.hpp:241-267)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest = read_manifest(path)
+        p = self.manifest["params"]
+        self.params = BM25Params(**p["bm25"])
+        self.cfg = IndexConfig(**p["layout"])
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"]
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Searcher":
+        return cls(spark, path)
+
+    # -- lazy frames --------------------------------------------------------
+    def segments(self) -> DataFrame:
+        dirs = [os.path.join(self.path, d) for d in
+                self.manifest["segment_dirs"] + self.manifest.get("deltas", [])]
+        df = None
+        for d in dirs:
+            part = (self.spark.read.schema(schemas.SEGMENTS)
+                    .option("recursiveFileLookup", "true").parquet(d))
+            df = part if df is None else df.unionByName(part)
+        return df
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.schema(schemas.DOCS).parquet(
+            os.path.join(self.path, "docs"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.schema(schemas.TERM_STATS).parquet(
+            os.path.join(self.path, "term_stats"))
+
+    def directory(self) -> DataFrame:
+        return self.spark.read.schema(schemas.DIRECTORY).parquet(
+            os.path.join(self.path, "directory"))
+
+    def tombstones(self) -> DataFrame | None:
+        p = os.path.join(self.path, "tombstones")
+        if self.manifest.get("tombstones", 0) > 0 and os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return None
+
+    # -- public API ----------------------------------------------------------
+    def search(self, query_text: str, k: int = 10, *, exact: bool = False,
+               predicate: str | None = None) -> list[tuple[int, float]]:
+        df = self.search_batch([(0, query_text, k)], exact=exact,
+                               predicate=predicate)
+        rows = df.orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def search_batch(self, queries: list[tuple[int, str, int]], *,
+                     exact: bool = False, predicate: str | None = None,
+                     seed_shards: int = 2) -> DataFrame:
+        """-> DataFrame(query_id, doc_id, score), per-query top-k.
+        exact=True disables θ-seeding/shard-skip (exhaustive blocked scan,
+        the nprobe=0 analog, searcher.hpp:614-616) — results must be
+        rank-identical either way; only the work differs."""
+        parsed = []
+        for qid, qtext, k in queries:
+            terms = sorted(set(tokenize_py(qtext)))
+            parsed.append((int(qid), terms, int(k)))
+        all_terms = sorted({t for _, ts, _ in parsed for t in ts})
+        empty = self.spark.createDataFrame([], schemas.RESULTS)
+        if not all_terms:
+            return empty
+
+        # idf of query terms (parquet filter pushdown on sorted term col)
+        stats = (self.term_stats().filter(F.col("term").isin(all_terms))
+                 .select("term", "df").collect())
+        idf = {r["term"]: float(idf_np(r["df"], self.n_docs)) for r in stats}
+        live = [(q, [t for t in ts if t in idf], k) for q, ts, k in parsed]
+        live = [(q, ts, k) for q, ts, k in live if ts]
+        if not live:
+            return empty
+        all_terms = sorted({t for _, ts, _ in live for t in ts})
+
+        seg = self.segments().filter(F.col("term").isin(all_terms))
+        mask_df = self._mask_df(predicate)
+
+        if exact:
+            qspec = [(q, ts, k, None) for q, ts, k in live]
+            res = self._scan(seg, qspec, idf, mask_df, predicate is not None)
+            return self._global_topk(res, live)
+
+        # ---- phase 1: rank shards by directory upper bound (S2 analog) ----
+        qterms_rows = [(q, t, float(idf[t])) for q, ts, _ in live for t in ts]
+        qt = self.spark.createDataFrame(qterms_rows, "query_id int, term string, idf double")
+        ub_df = (self.directory().filter(F.col("term").isin(all_terms))
+                 .join(F.broadcast(qt), "term")
+                 .groupBy("query_id", "shard")
+                 .agg(F.sum(F.col("idf") * F.col("gmax")).alias("ub")))
+        ub_df = ub_df.persist()
+        w = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("shard"))
+        seed = (ub_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= seed_shards)
+                .select("shard").distinct())
+
+        # ---- phase 2: seed scan -> θ per query ----
+        seed_seg = seg.join(F.broadcast(seed), "shard", "left_semi")
+        qspec = [(q, ts, k, None) for q, ts, k in live]
+        seed_res = self._scan(seed_seg, qspec, idf, mask_df, predicate is not None)
+        seed_local = seed_res.collect()
+        theta: dict[int, float] = {}
+        by_q: dict[int, list] = {}
+        for r in seed_local:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        kmap = {q: k for q, _, k in live}
+        for q, rows in by_q.items():
+            rows.sort(key=lambda x: (-x[1], x[0]))
+            if len(rows) >= kmap[q]:
+                theta[q] = rows[kmap[q] - 1][1]
+
+        # ---- phase 3: main scan over shards that can still beat θ ----
+        theta_rows = [(q, theta.get(q)) for q, _, _ in live]
+        tdf = self.spark.createDataFrame(theta_rows, "query_id int, theta double")
+        guard = F.col("theta") - F.lit(_THETA_GUARD) * F.abs(F.col("theta"))
+        need = (ub_df.join(F.broadcast(tdf), "query_id")
+                .filter(F.col("theta").isNull() | (F.col("ub") >= guard))
+                .select("shard").distinct()
+                .join(seed, "shard", "left_anti"))
+        main_seg = seg.join(F.broadcast(need), "shard", "left_semi")
+        qspec = [(q, ts, k, theta.get(q)) for q, ts, k in live]
+        main_res = self._scan(main_seg, qspec, idf, mask_df, predicate is not None)
+        ub_df.unpersist()
+
+        seed_df = self.spark.createDataFrame(
+            [(r["query_id"], r["doc_id"], r["score"]) for r in seed_local] or [],
+            schemas.RESULTS)
+        return self._global_topk(main_res.unionByName(seed_df), live)
+
+    # -- internals -----------------------------------------------------------
+    def _mask_df(self, predicate: str | None) -> DataFrame | None:
+        """(shard, doc_id, p) rows: p=1 predicate-pass, p=0 tombstoned."""
+        parts = []
+        if predicate is not None:
+            parts.append(self.docs().filter(F.expr(predicate))
+                         .select("doc_id").withColumn("p", F.lit(1)))
+        tomb = self.tombstones()
+        if tomb is not None:
+            parts.append(tomb.select("doc_id").withColumn("p", F.lit(0)))
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.withColumn(
+            "shard", (F.col("doc_id") / self.cfg.docs_per_shard).cast("long"))
+
+    def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],
+              mask_df: DataFrame | None, has_predicate: bool) -> DataFrame:
+        payload = {"queries": qspec, "idf": idf,
+                   "avgdl": self.avgdl, "k1": self.params.k1,
+                   "b": self.params.b,
+                   "docs_per_shard": self.cfg.docs_per_shard,
+                   "has_predicate": has_predicate}
+        if mask_df is not None:
+            fn = _shard_scorer(payload, has_mask=True)
+            return (seg.groupBy("shard")
+                    .cogroup(mask_df.groupBy("shard"))
+                    .applyInPandas(fn, schema=schemas.RESULTS))
+        fn = _shard_scorer(payload, has_mask=False)
+        return seg.groupBy("shard").applyInPandas(fn, schema=schemas.RESULTS)
+
+    def _global_topk(self, res: DataFrame, live) -> DataFrame:
+        kdf = self.spark.createDataFrame([(q, k) for q, _, k in live],
+                                         "query_id int, k int")
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (res.join(F.broadcast(kdf), "query_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= F.col("k"))
+                .select("query_id", "doc_id", "score"))
+
+    # -- convenience ----------------------------------------------------------
+    def lookup_keys(self, results: DataFrame) -> DataFrame:
+        """Join results back to (conv_id, turn_idx) doc keys."""
+        return results.join(self.docs().select("doc_id", "conv_id", "turn_idx"),
+                            "doc_id", "left")

@@ -1,0 +1,148 @@
+"""Deterministic synthetic transcripts + query fixtures (seed 42).
+
+Mirrors the reference's single deterministic dataset strategy
+(/root/reference/tests/generate_test_data.cpp:8-31 — gaussian blobs,
+seed 42, 5000 train / 500 queries): one generator, one seed, goldens
+derived from it. Ours is Zipf-distributed text (hot-term skew is
+intentional — it exercises the salting/sharding path) plus rare unique
+"needle" tokens so needle queries have known answers. See FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+import numpy as np
+import pandas as pd
+
+from pdx_spark.config import SEED
+
+VOCAB_SIZE = 5000
+ZIPF_S = 1.1
+ROLES = np.array(["user", "assistant", "system", "tool"])
+ROLE_W = np.array([0.40, 0.40, 0.05, 0.15])
+TOOLS = np.array(["bash", "search", "browser", "python", "none"])
+EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def vocabulary() -> list[str]:
+    """wNNNN word ids; deterministic, ASCII, regex-tokenizable."""
+    return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
+
+
+def make_transcripts_pdf(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+    """Generate the transcripts corpus as one pandas frame (driver-side;
+    fixtures are small — the 100TB story is the engine's, not the
+    fixture's). Columns per BASELINE.json input_hint."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(vocabulary())
+
+    turns_per_conv = rng.integers(2, 17, size=n_convs)
+    total = int(turns_per_conv.sum())
+
+    conv_seq = np.repeat(np.arange(n_convs), turns_per_conv)
+    turn_idx = np.concatenate([np.arange(t) for t in turns_per_conv])
+
+    roles = ROLES[rng.choice(len(ROLES), size=total, p=ROLE_W)]
+    tools = np.where(roles == "tool",
+                     TOOLS[rng.integers(0, len(TOOLS), size=total)], None)
+
+    # Zipf-ish token draw over the vocabulary (bounded zipf via ranks).
+    n_tokens = rng.integers(5, 121, size=total)
+    flat_n = int(n_tokens.sum())
+    ranks = rng.zipf(ZIPF_S, size=flat_n * 2)  # over-draw, clip to vocab
+    ranks = ranks[ranks <= VOCAB_SIZE][:flat_n]
+    while len(ranks) < flat_n:  # astronomically unlikely, but deterministic
+        extra = rng.zipf(ZIPF_S, size=flat_n)
+        ranks = np.concatenate([ranks, extra[extra <= VOCAB_SIZE]])[:flat_n]
+    words = vocab[ranks - 1]
+
+    offsets = np.concatenate([[0], np.cumsum(n_tokens)])
+    texts = [" ".join(words[offsets[i]:offsets[i + 1]]) for i in range(total)]
+
+    # Needle tokens: ~1% of turns get a globally unique token appended.
+    needle_rows = rng.choice(total, size=max(1, total // 100), replace=False)
+    for j, row in enumerate(sorted(needle_rows.tolist())):
+        texts[row] = texts[row] + f" needle{j:06d}"
+
+    ts = [EPOCH + _dt.timedelta(seconds=int(c) * 60 + int(t) * 5)
+          for c, t in zip(conv_seq, turn_idx)]
+
+    return pd.DataFrame({
+        "conv_id": [f"conv-{c:08d}" for c in conv_seq],
+        "turn_idx": turn_idx.astype("int32"),
+        "role": roles,
+        "text": texts,
+        "tool": tools,
+        "ts": ts,
+    })
+
+
+def make_queries_pdf(n_queries: int = 200, seed: int = SEED) -> pd.DataFrame:
+    """Reference query set: hot terms, mid-frequency, rare, needles, OOV,
+    multi-term conjunctions (FIXTURES.md §2)."""
+    rng = np.random.default_rng(seed + 1)
+    vocab = vocabulary()
+    rows = []
+    for qid in range(n_queries):
+        kind = qid % 5
+        if kind == 0:    # hot single term
+            terms = [vocab[int(rng.integers(0, 20))]]
+        elif kind == 1:  # mid-frequency 2-term
+            terms = [vocab[int(rng.integers(50, 500))] for _ in range(2)]
+        elif kind == 2:  # rare tail 1-3 terms
+            terms = [vocab[int(rng.integers(2000, VOCAB_SIZE))]
+                     for _ in range(int(rng.integers(1, 4)))]
+        elif kind == 3:  # needle (exists ~iff fixture big enough) + hot
+            terms = [f"needle{int(rng.integers(0, 50)):06d}",
+                     vocab[int(rng.integers(0, 50))]]
+        else:            # mixed conjunction up to 5 terms, may include OOV
+            terms = [vocab[int(rng.integers(0, VOCAB_SIZE))]
+                     for _ in range(int(rng.integers(2, 6)))]
+            if rng.random() < 0.2:
+                terms.append("zzoutofvocabzz")
+        k = 10
+        if qid == 7:
+            k = 1
+        elif qid == 13:
+            k = 100
+        rows.append((qid, " ".join(terms), k))
+    return pd.DataFrame(rows, columns=["query_id", "query_text", "k"])
+
+
+# ---- Fixed on-disk fixture shared by Spark queries and the DuckDB oracle ----
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
+
+SCALE_CONVS = {"tiny": 50, "small": 1000, "bench": 50000}
+
+
+def transcripts_path(scale: str = "small") -> str:
+    """Materialize (once) the deterministic transcripts fixture as a single
+    parquet file readable by both Spark and DuckDB, return its path."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, f"transcripts_{scale}.parquet")
+    if not os.path.exists(path):
+        pdf = make_transcripts_pdf(SCALE_CONVS[scale])
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def queries_path(scale: str = "small") -> str:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, f"queries_{scale}.parquet")
+    if not os.path.exists(path):
+        pdf = make_queries_pdf(200)
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def load_transcripts(spark, scale: str = "small"):
+    from pdx_spark.schemas import TRANSCRIPTS
+    return spark.read.schema(TRANSCRIPTS).parquet(transcripts_path(scale))

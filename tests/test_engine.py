@@ -1,0 +1,134 @@
+"""End-to-end rank-identity: oracle == exact DataFrame scorer == blocked
+exhaustive scan == pruned (θ-seeded, shard-skipping) scan.
+
+This is the analog — with a *stricter* gate — of the reference's
+recall-vs-bruteforce tests (tests/test_search.cpp:20-79): because
+block-max pruning is exact, we demand identical ids and scores (1e-9
+rel), not recall within tolerance (SURVEY §5.1).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdx_spark.config import BM25Params
+from pdx_spark.operators import corpus as C
+from pdx_spark.operators.exact import exact_topk
+from pdx_spark.operators.searcher import Searcher
+from pdx_spark.sources.fixtures import make_queries_pdf
+
+QUERIES = [
+    (0, "w0000", 10),                  # hottest term
+    (1, "w0003 w0150", 10),            # hot + mid
+    (2, "w4990 w4991 w4992", 10),      # rare tail
+    (3, "needle000001", 5),            # unique needle
+    (4, "w0001 zzoutofvocabzz", 10),   # partial OOV
+    (5, "zzoutofvocabzz", 10),         # full OOV -> empty
+    (6, "w0010 w0020 w0030 w0040 w0050", 25),
+    (7, "w0000 w0000 W0000", 10),      # duplicate query terms collapse
+    (8, "w0100", 1),                   # k=1
+    (9, "w0002", 10_000),              # k >> corpus
+]
+
+
+def assert_rank_identical(got: list, want: list, tag=""):
+    assert len(got) == len(want), f"{tag}: {len(got)} vs {len(want)}"
+    for i, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"{tag} rank {i}: doc {gd} != {wd}"
+        assert math.isclose(gs, ws, rel_tol=1e-9), f"{tag} rank {i}: {gs} != {ws}"
+
+
+def collect_topk(df, qid):
+    rows = (df.filter(F.col("query_id") == qid)
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect())
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tiny_index):
+    return Searcher.load(spark, tiny_index)
+
+
+def test_manifest_counts(spark, searcher, tiny_oracle):
+    assert searcher.n_docs == tiny_oracle.n_docs
+    assert math.isclose(searcher.avgdl, tiny_oracle.avgdl, rel_tol=1e-12)
+    # structural invariant: sum of posting lengths == sum per-doc distinct terms
+    total = searcher.segments().agg(F.sum("n")).collect()[0][0]
+    assert total == sum(len(c) for c in tiny_oracle.tf.values())
+
+
+def test_exact_dataframe_scorer_vs_oracle(spark, tiny_df, tiny_oracle):
+    p = BM25Params()
+    ids = C.assign_doc_ids(tiny_df)
+    posts = C.postings(ids)
+    docs = C.build_docs(ids)
+    n, avgdl = C.corpus_stats(docs)
+    ts = C.term_stats(posts, n, avgdl, p)
+    res = exact_topk(posts, ts, n, avgdl, p, QUERIES)
+    res = res.persist()
+    for qid, qtext, k in QUERIES:
+        want = tiny_oracle.topk(qtext, k)
+        assert_rank_identical(collect_topk(res, qid), want, f"exact q{qid}")
+    res.unpersist()
+
+
+def test_blocked_exhaustive_vs_oracle(searcher, tiny_oracle):
+    res = searcher.search_batch(QUERIES, exact=True).persist()
+    for qid, qtext, k in QUERIES:
+        want = tiny_oracle.topk(qtext, k)
+        assert_rank_identical(collect_topk(res, qid), want, f"blocked q{qid}")
+    res.unpersist()
+
+
+def test_pruned_vs_oracle(searcher, tiny_oracle):
+    res = searcher.search_batch(QUERIES).persist()
+    for qid, qtext, k in QUERIES:
+        want = tiny_oracle.topk(qtext, k)
+        assert_rank_identical(collect_topk(res, qid), want, f"pruned q{qid}")
+    res.unpersist()
+
+
+def test_pruned_vs_oracle_fixture_queryset(searcher, tiny_oracle):
+    """The 200-query reference set (FIXTURES §2), pruned engine."""
+    qpdf = make_queries_pdf(60)
+    queries = [(int(r.query_id), r.query_text, int(r.k))
+               for r in qpdf.itertuples()]
+    res = searcher.search_batch(queries).persist()
+    for qid, qtext, k in queries:
+        want = tiny_oracle.topk(qtext, k)
+        assert_rank_identical(collect_topk(res, qid), want, f"fix q{qid}")
+    res.unpersist()
+
+
+def test_results_sorted_unique(searcher):
+    """Metamorphic invariants (test_search.cpp:122-153 analogs)."""
+    res = searcher.search_batch([(0, "w0000 w0001", 20)]).collect()
+    ids = [r["doc_id"] for r in res]
+    assert len(ids) == len(set(ids))
+    pairs = sorted(((r["score"], r["doc_id"]) for r in res),
+                   key=lambda x: (-x[0], x[1]))
+    assert len(pairs) <= 20
+
+
+def test_single_query_api(searcher, tiny_oracle):
+    got = searcher.search("w0005 w0123", k=7)
+    want = tiny_oracle.topk("w0005 w0123", 7)
+    assert_rank_identical(got, want, "single")
+
+
+def test_text_roundtrip_invariant(spark, tiny_df, searcher):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    (BASELINE.json input_hint): docs table hash == source text hash."""
+    src = tiny_df.select(
+        "conv_id", "turn_idx",
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+    docs = searcher.docs().select("conv_id", "turn_idx", "text_hash")
+    joined = src.join(docs, ["conv_id", "turn_idx"])
+    assert joined.count() == tiny_df.count()
+    assert joined.filter(F.col("h") != F.col("text_hash")).count() == 0
+    # doc_id is the dense rank of (conv_id, turn_idx)
+    d = searcher.docs().orderBy("doc_id").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in d]
+    assert keys == sorted(keys)
+    assert [r["doc_id"] for r in d] == list(range(len(d)))

@@ -1,0 +1,138 @@
+"""Maintenance behavior (reference tests/test_maintenance.cpp:33-136):
+append-then-find, delete-then-absent, compaction preserves results,
+resume-from-checkpoint equals fresh build."""
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdx_spark.config import IndexConfig
+from pdx_spark.operators.indexer import Indexer, read_manifest
+from pdx_spark.operators.maintenance import Maintainer
+from pdx_spark.operators.searcher import Searcher
+from pdx_spark.oracle import BM25Oracle
+from pdx_spark.schemas import TRANSCRIPTS
+from pdx_spark.sources.fixtures import make_transcripts_pdf
+from tests.test_engine import assert_rank_identical, collect_topk
+
+CFG = IndexConfig(block_size=16, docs_per_shard=64)
+QUERIES = [(0, "w0000", 10), (1, "w0003 w0150", 10), (2, "w0500 w0700", 10)]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdfs():
+    pdf = make_transcripts_pdf(60)
+    convs = sorted(pdf["conv_id"].unique())
+    head = pdf[pdf["conv_id"].isin(convs[:54])]   # build on 90%
+    tail = pdf[pdf["conv_id"].isin(convs[54:])]   # append 10%
+    return pdf, head, tail
+
+
+def _oracle_for(pdf):
+    s = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return BM25Oracle({i: t for i, t in enumerate(s["text"])})
+
+
+def test_append_then_find(spark, tmp_path, corpus_pdfs):
+    full, head, tail = corpus_pdfs
+    path = str(tmp_path / "idx_append")
+    Indexer(spark, cfg=CFG).build(
+        spark.createDataFrame(head, schema=TRANSCRIPTS), path)
+    Maintainer(spark, path).append(
+        spark.createDataFrame(tail, schema=TRANSCRIPTS))
+    searcher = Searcher.load(spark, path)
+
+    # oracle over head-then-tail doc_id order (append preserves old ids)
+    h = head.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    t = tail.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    texts = list(h["text"]) + list(t["text"])
+    oracle = BM25Oracle(dict(enumerate(texts)))
+    assert searcher.n_docs == oracle.n_docs
+    assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
+
+    # a needle that exists only in the appended batch must be found
+    needle = next((tok for txt in t["text"] for tok in txt.split()
+                   if tok.startswith("needle")), None)
+    queries = list(QUERIES)
+    if needle:
+        queries.append((9, needle, 5))
+    res = searcher.search_batch(queries).persist()
+    for qid, qtext, k in queries:
+        want = oracle.topk(qtext, k)
+        assert_rank_identical(collect_topk(res, qid), want, f"append q{qid}")
+    res.unpersist()
+
+
+def test_delete_then_absent_and_compact(spark, tmp_path, corpus_pdfs):
+    full, head, tail = corpus_pdfs
+    path = str(tmp_path / "idx_del")
+    Indexer(spark, cfg=CFG).build(
+        spark.createDataFrame(head, schema=TRANSCRIPTS), path)
+    s0 = Searcher.load(spark, path)
+    hit0 = s0.search("w0000", k=5)
+    dead_ids = [d for d, _ in hit0[:2]]
+    dead = spark.createDataFrame([(int(d),) for d in dead_ids], "doc_id long")
+    Maintainer(spark, path).delete(dead)
+
+    h = head.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    live_texts = {i: t for i, t in enumerate(h["text"]) if i not in set(dead_ids)}
+    oracle = BM25Oracle(live_texts)
+
+    searcher = Searcher.load(spark, path)
+    res = searcher.search_batch(QUERIES).persist()
+    for qid, qtext, k in QUERIES:
+        got = collect_topk(res, qid)
+        assert not set(dead_ids) & {d for d, _ in got}
+        # note: idf uses pre-delete df until compaction (documented);
+        # so only check absence here, exactness after compact below
+    res.unpersist()
+
+    Maintainer(spark, path).compact()
+    searcher = Searcher.load(spark, path)
+    assert read_manifest(path)["tombstones"] == 0
+    res = searcher.search_batch(QUERIES).persist()
+    for qid, qtext, k in QUERIES:
+        want = oracle.topk(qtext, k)
+        assert_rank_identical(collect_topk(res, qid), want, f"compacted q{qid}")
+    res.unpersist()
+
+
+def test_resume_equals_fresh(spark, tmp_path, corpus_pdfs):
+    """Kill a build after chunk 0 of 3; resume; verify identical segment
+    content vs an uninterrupted build (P1/P2 + north-rule checkpoint)."""
+    full, head, tail = corpus_pdfs
+    df = spark.createDataFrame(head, schema=TRANSCRIPTS)
+
+    fresh = str(tmp_path / "fresh")
+    Indexer(spark, cfg=CFG).build(df, fresh, n_chunks=3)
+
+    broken = str(tmp_path / "broken")
+    Indexer(spark, cfg=CFG).build(df, broken, n_chunks=3)
+    # simulate crash: drop chunks 1,2 results + mark incomplete
+    import json, os
+    m = read_manifest(broken)
+    m["stage"] = "segments"
+    for c in ["1", "2"]:
+        m["chunks"].pop(c, None)
+        shutil.rmtree(os.path.join(broken, "segments", "base", f"chunk-{c}"))
+    # postings_tmp was cleaned at directory stage; restore it by rebuilding
+    from pdx_spark.operators import corpus as C
+    ids = C.assign_doc_ids(df)
+    C.postings(ids).write.mode("overwrite").parquet(
+        os.path.join(broken, "postings_tmp"))
+    with open(os.path.join(broken, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    Indexer(spark, cfg=CFG).build(df, broken, resume=True)
+
+    a = spark.read.option("recursiveFileLookup", "true").parquet(
+        fresh + "/segments/base").orderBy("term", "shard", "block_id")
+    b = spark.read.option("recursiveFileLookup", "true").parquet(
+        broken + "/segments/base").orderBy("term", "shard", "block_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    sa, sb = Searcher.load(spark, fresh), Searcher.load(spark, broken)
+    ra = sa.search("w0001 w0002", k=10)
+    rb = sb.search("w0001 w0002", k=10)
+    assert ra == rb
