@@ -91,10 +91,14 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 16,
                        text_col: str = "text") -> DataFrame:
     """-> (doc_id, sig: array<long>): sig[i] = min over shingles of
-    (a_i*h + b_i) mod 2^61-1."""
+    (a_i*(h mod P) + b_i) mod P, P = 1e9+7. The pre-mod keeps a_i*h
+    inside int64 in EVERY engine (DuckDB raises on overflow where the
+    JVM silently wraps — cross-engine reproducibility requires staying
+    in range, not relying on wrap semantics)."""
+    from pdx_spark.functions.textstats import FP_MOD
     sh = shingles_df(df, n, text_col)
-    mins = [F.min((F.lit(a) * F.col("shingle_hash") + F.lit(b)) % MERSENNE)
-            .alias(f"m{i}")
+    h = F.col("shingle_hash") % FP_MOD
+    mins = [F.min((F.lit(a) * h + F.lit(b)) % FP_MOD).alias(f"m{i}")
             for i, (a, b) in enumerate(_minhash_params(num_hashes))]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id",

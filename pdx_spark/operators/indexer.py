@@ -179,6 +179,8 @@ class Indexer:
             (seg.groupBy("term", "shard")
                 .agg(F.count("*").cast("int").alias("n_blocks"),
                      F.sum("n").cast("long").alias("n_postings"),
+                     F.max("max_tf").cast("int").alias("max_tf"),
+                     F.min("min_dl").cast("int").alias("min_dl"),
                      F.max("gmax").alias("gmax"))
                 .sort("term", "shard")
                 .write.mode("overwrite").parquet(self._p(path, "directory")))

@@ -99,12 +99,12 @@ class Maintainer:
         shutil.rmtree(os.path.join(self.path, "term_stats"))
         os.replace(ts_tmp, os.path.join(self.path, "term_stats"))
 
-        # refresh directory with delta blocks
-        self._rebuild_directory()
-
         with_ids.unpersist()
         m = self.manifest
         m.setdefault("deltas", []).append(delta_name)
+        # refresh directory with delta blocks (AFTER registering the delta:
+        # _segments() reads the manifest's delta list)
+        self._rebuild_directory()
         m["n_docs"], m["avgdl"] = n_docs, avgdl
         m["lineage"].append({"stage": "append", "new_docs": int(n_docs),
                              "sec": round(time.time() - t0, 2)})
@@ -224,6 +224,8 @@ class Maintainer:
         (self._segments().groupBy("term", "shard")
          .agg(F.count("*").cast("int").alias("n_blocks"),
               F.sum("n").cast("long").alias("n_postings"),
+              F.max("max_tf").cast("int").alias("max_tf"),
+              F.min("min_dl").cast("int").alias("min_dl"),
               F.max("gmax").alias("gmax"))
          .sort("term", "shard")
          .write.mode("overwrite").parquet(tmp))

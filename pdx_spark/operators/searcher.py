@@ -62,7 +62,10 @@ def _shard_scorer(payload: dict, has_mask: bool):
     avgdl = payload["avgdl"]
     params = BM25Params(k1=payload["k1"], b=payload["b"])
     width = payload["docs_per_shard"]
-    has_predicate = payload.get("has_predicate", False)
+    # predicate_mode: None (no predicate), "allow" (mask rows are the
+    # passing docs, low selectivity) or "deny" (mask rows are the failing
+    # docs, high selectivity) — the F3 selectivity-adaptive branch.
+    predicate_mode = payload.get("predicate_mode")
     out_cols = ["query_id", "doc_id", "score"]
 
     def score_shard(seg_pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None):
@@ -71,14 +74,14 @@ def _shard_scorer(payload: dict, has_mask: bool):
         shard = int(seg_pdf["shard"].iloc[0])
         base = shard * width
 
-        # doc-level allow/block mask for this shard
+        # doc-level allow/block mask for this shard (selection-vector analog)
         allow = None
-        if mask_pdf is not None and (has_predicate or len(mask_pdf)):
-            if has_predicate:
+        if mask_pdf is not None and (predicate_mode == "allow" or len(mask_pdf)):
+            if predicate_mode == "allow":
                 allow = np.zeros(width, dtype=bool)
                 ok = mask_pdf.loc[mask_pdf["p"] == 1, "doc_id"].to_numpy() - base
                 allow[ok] = True
-            else:
+            else:  # "deny" predicate and/or tombstones: baseline all-pass
                 allow = np.ones(width, dtype=bool)
             bad = mask_pdf.loc[mask_pdf["p"] == 0, "doc_id"].to_numpy() - base
             allow[bad] = False
@@ -88,7 +91,11 @@ def _shard_scorer(payload: dict, has_mask: bool):
         terms_arr = seg_pdf["term"].to_numpy()
         first = seg_pdf["first_doc"].to_numpy(dtype=np.int64) - base
         last = seg_pdf["last_doc"].to_numpy(dtype=np.int64) - base
-        gmax = seg_pdf["gmax"].to_numpy(dtype=np.float64)
+        # avgdl-drift-safe per-block upper bound (monotone in tf up, dl
+        # down) — valid after appends shift avgdl, unlike stored gmax
+        gub = tfnorm_np(seg_pdf["max_tf"].to_numpy(dtype=np.int64),
+                        seg_pdf["min_dl"].to_numpy(dtype=np.int64),
+                        avgdl, params)
         change = np.nonzero(terms_arr[1:] != terms_arr[:-1])[0] + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(terms_arr)]])
@@ -106,7 +113,7 @@ def _shard_scorer(payload: dict, has_mask: bool):
             diff = np.zeros(width + 1, dtype=np.float64)
             for t in present:
                 s, e = term_rows[t]
-                w = idf[t] * gmax[s:e]
+                w = idf[t] * gub[s:e]
                 np.add.at(diff, first[s:e], w)
                 np.add.at(diff, last[s:e] + 1, -w)
             ub = np.cumsum(diff[:width])
@@ -238,20 +245,23 @@ class Searcher:
         all_terms = sorted({t for _, ts, _ in live for t in ts})
 
         seg = self.segments().filter(F.col("term").isin(all_terms))
-        mask_df = self._mask_df(predicate)
+        mask_df, pred_mode = self._mask_df(predicate)
 
         if exact:
             qspec = [(q, ts, k, None) for q, ts, k in live]
-            res = self._scan(seg, qspec, idf, mask_df, predicate is not None)
+            res = self._scan(seg, qspec, idf, mask_df, pred_mode)
             return self._global_topk(res, live)
 
         # ---- phase 1: rank shards by directory upper bound (S2 analog) ----
+        from pdx_spark.functions.bm25 import tfnorm_col
         qterms_rows = [(q, t, float(idf[t])) for q, ts, _ in live for t in ts]
         qt = self.spark.createDataFrame(qterms_rows, "query_id int, term string, idf double")
+        gub = tfnorm_col(F.col("max_tf"), F.col("min_dl"),
+                         F.lit(self.avgdl), self.params)
         ub_df = (self.directory().filter(F.col("term").isin(all_terms))
                  .join(F.broadcast(qt), "term")
                  .groupBy("query_id", "shard")
-                 .agg(F.sum(F.col("idf") * F.col("gmax")).alias("ub")))
+                 .agg(F.sum(F.col("idf") * gub).alias("ub")))
         ub_df = ub_df.persist()
         w = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("shard"))
         seed = (ub_df.withColumn("_rn", F.row_number().over(w))
@@ -261,7 +271,7 @@ class Searcher:
         # ---- phase 2: seed scan -> θ per query ----
         seed_seg = seg.join(F.broadcast(seed), "shard", "left_semi")
         qspec = [(q, ts, k, None) for q, ts, k in live]
-        seed_res = self._scan(seed_seg, qspec, idf, mask_df, predicate is not None)
+        seed_res = self._scan(seed_seg, qspec, idf, mask_df, pred_mode)
         seed_local = seed_res.collect()
         theta: dict[int, float] = {}
         by_q: dict[int, list] = {}
@@ -283,7 +293,7 @@ class Searcher:
                 .join(seed, "shard", "left_anti"))
         main_seg = seg.join(F.broadcast(need), "shard", "left_semi")
         qspec = [(q, ts, k, theta.get(q)) for q, ts, k in live]
-        main_res = self._scan(main_seg, qspec, idf, mask_df, predicate is not None)
+        main_res = self._scan(main_seg, qspec, idf, mask_df, pred_mode)
         ub_df.unpersist()
 
         seed_df = self.spark.createDataFrame(
@@ -292,30 +302,43 @@ class Searcher:
         return self._global_topk(main_res.unionByName(seed_df), live)
 
     # -- internals -----------------------------------------------------------
-    def _mask_df(self, predicate: str | None) -> DataFrame | None:
-        """(shard, doc_id, p) rows: p=1 predicate-pass, p=0 tombstoned."""
-        parts = []
+    def _mask_df(self, predicate: str | None):
+        """-> ((shard, doc_id, p) rows | None, predicate_mode).
+        p=1 predicate-pass (allow mode), p=0 predicate-fail (deny mode)
+        or tombstoned. Deny mode ships the complement when the predicate
+        passes most docs — the selectivity-adaptive F3 analog (reference
+        searcher.hpp:57, threshold 0.80)."""
+        from pdx_spark.plans.planner import choose_filter_mode
+        parts, mode = [], None
         if predicate is not None:
-            parts.append(self.docs().filter(F.expr(predicate))
-                         .select("doc_id").withColumn("p", F.lit(1)))
+            mode, _ = choose_filter_mode(self.docs(), predicate, self.n_docs)
+            if mode == "allow":
+                parts.append(self.docs().filter(F.expr(predicate))
+                             .select("doc_id").withColumn("p", F.lit(1)))
+            else:
+                # deny set = NOT (pred IS TRUE): null predicate results are
+                # non-passing in both modes (consistent 3-valued logic)
+                parts.append(self.docs()
+                             .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+                             .select("doc_id").withColumn("p", F.lit(0)))
         tomb = self.tombstones()
         if tomb is not None:
             parts.append(tomb.select("doc_id").withColumn("p", F.lit(0)))
         if not parts:
-            return None
+            return None, mode
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df.withColumn(
-            "shard", (F.col("doc_id") / self.cfg.docs_per_shard).cast("long"))
+            "shard", (F.col("doc_id") / self.cfg.docs_per_shard).cast("long")), mode
 
     def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],
-              mask_df: DataFrame | None, has_predicate: bool) -> DataFrame:
+              mask_df: DataFrame | None, predicate_mode: str | None) -> DataFrame:
         payload = {"queries": qspec, "idf": idf,
                    "avgdl": self.avgdl, "k1": self.params.k1,
                    "b": self.params.b,
                    "docs_per_shard": self.cfg.docs_per_shard,
-                   "has_predicate": has_predicate}
+                   "predicate_mode": predicate_mode}
         if mask_df is not None:
             fn = _shard_scorer(payload, has_mask=True)
             return (seg.groupBy("shard")

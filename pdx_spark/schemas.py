@@ -68,6 +68,12 @@ DIRECTORY = T.StructType([
     T.StructField("shard", T.LongType(), False),
     T.StructField("n_blocks", T.IntegerType(), False),
     T.StructField("n_postings", T.LongType(), False),
+    # (max_tf, min_dl) give the avgdl-drift-safe upper bound
+    # idf * tfnorm(max_tf, min_dl, current_avgdl); gmax (tfnorm at build
+    # avgdl) is kept for diagnostics but NOT used for pruning, because an
+    # append that raises avgdl raises true scores above a stale gmax.
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("min_dl", T.IntegerType(), False),
     T.StructField("gmax", T.DoubleType(), False),
 ])
 
