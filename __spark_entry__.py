@@ -109,11 +109,16 @@ _MD5LONG = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 def _bm25_sql(query_terms: list[str], k: int, where: str = "TRUE",
               src: str = "documents") -> str:
-    """Exact BM25 top-k in ANSI SQL (DuckDB dialect) — FIXTURES.md §7."""
+    """Exact BM25 top-k in ANSI SQL (DuckDB dialect) — FIXTURES.md §7.
+
+    `where` restricts the CANDIDATE set only; corpus statistics (N,
+    avgdl, df) stay global — filtered-search semantics match the
+    reference's selection vectors (index stats are never recomputed
+    per predicate, index.hpp:273-280)."""
     terms = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
     return f"""
 WITH corpus AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM {src} WHERE {where}
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM {src}
 ),
 docs AS (SELECT doc_id, len(toks) AS dl, toks FROM corpus),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
@@ -135,7 +140,9 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM {src} WHERE {where})
+ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 

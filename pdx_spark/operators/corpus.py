@@ -15,7 +15,7 @@ ivf_wrapper.hpp:76-87). Only the tiny counts vector hits the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdx_spark.config import BM25Params, IndexConfig
@@ -24,47 +24,69 @@ from pdx_spark.functions.tokenize import tokens_col
 
 def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """transcripts(+any cols) -> same rows + dense int64 doc_id, ordered by
-    (conv_id, turn_idx). Deterministic regardless of sampled range
-    boundaries: offsets come from actual partition counts."""
+    (conv_id, turn_idx).
+
+    One full-data shuffle only (the range partition): rows are sorted
+    WITHIN partitions (no second shuffle — a window over _pid would
+    re-shuffle all the text), monotonically_increasing_id supplies the
+    partition-local sequence (id = pid<<33 | local_seq over the sorted
+    stream), and a broadcast prefix-sum of partition counts turns local
+    sequences into global dense ranks. Deterministic regardless of the
+    sampled range boundaries (offsets come from actual counts); the
+    localCheckpoint pins boundaries + ids against recomputation."""
     spark = transcripts.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
-    ranged = transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx") \
-                        .withColumn("_pid", F.spark_partition_id())
-    ranged = ranged.localCheckpoint(eager=True)  # pin sampled boundaries
+    ranged = (transcripts
+              .repartitionByRange(num_partitions, "conv_id", "turn_idx")
+              .sortWithinPartitions("conv_id", "turn_idx")
+              .withColumn("_mid", F.monotonically_increasing_id()))
+    ranged = ranged.localCheckpoint(eager=True)  # pin boundaries + ids
 
-    counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    pid = F.shiftright(F.col("_mid"), 33)
+    counts = {r["p"]: r["cnt"] for r in
+              ranged.groupBy(pid.alias("p")).agg(F.count("*").alias("cnt"))
+              .collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
     offsets_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "pid int, part_offset long")
+        [(int(p), int(o)) for p, o in offsets.items()], "pid long, part_offset long")
 
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+    local = F.col("_mid") - F.shiftleft(pid, 33)
     return (ranged
-            .withColumn("_local", F.row_number().over(w) - 1)
-            .join(F.broadcast(offsets_df), F.col("_pid") == F.col("pid"))
-            .withColumn("doc_id", (F.col("part_offset") + F.col("_local")).cast("long"))
-            .drop("_pid", "pid", "_local", "part_offset"))
+            .join(F.broadcast(offsets_df), pid == F.col("pid"))
+            .withColumn("doc_id", (F.col("part_offset") + local).cast("long"))
+            .drop("_mid", "pid", "part_offset"))
 
 
-def build_docs(with_ids: DataFrame) -> DataFrame:
+def build_docs(with_ids: DataFrame, dp: DataFrame | None = None) -> DataFrame:
     """Docs side table (schemas.DOCS): per-doc metadata, token length, and
-    xxhash64(text) for the per-turn text-equality roundtrip invariant."""
-    return with_ids.select(
+    xxhash64(text) for the per-turn text-equality roundtrip invariant.
+    Pass dp=doc_postings(...) to reuse its dl instead of re-tokenizing."""
+    meta = with_ids.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-        F.size(tokens_col(F.col("text"))).cast("int").alias("dl"),
-        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
-    )
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"))
+    if dp is None:
+        return with_ids.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+            F.size(tokens_col(F.col("text"))).cast("int").alias("dl"),
+            F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"))
+    return (meta.join(dp.select("doc_id", "dl"), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "dl", "text_hash"))
 
 
 def postings(with_ids: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     """(term, doc_id, tf, dl) — the flat inverted file before blocking.
     Pure JVM: tokenize -> posexplode-free explode -> groupBy count (Spark
-    plans a partial (map-side) aggregate before the shuffle)."""
+    plans a partial (map-side) aggregate before the shuffle).
+
+    NOTE: the indexer's hot path uses doc_postings() instead — tf is a
+    per-document quantity, so the groupBy shuffle here is pure overhead;
+    this flat form remains for the exact scorer and tests."""
     toks = with_ids.select(
         "doc_id", tokens_col(F.col("text")).alias("toks"))
     toks = toks.withColumn("dl", F.size("toks"))
@@ -73,6 +95,47 @@ def postings(with_ids: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
             .groupBy("term", "doc_id", "dl")
             .agg(F.count("*").cast("int").alias("tf"))
             .select("term", "doc_id", "tf", "dl"))
+
+
+DOC_POSTINGS_SCHEMA = ("doc_id long, dl int, terms array<string>, "
+                       "tfs array<int>")
+
+
+def doc_postings(with_ids: DataFrame) -> DataFrame:
+    """Doc-grouped postings: (doc_id, dl, terms[], tfs[]) — one row per
+    document, terms sorted.
+
+    Scale rationale: tf(term, doc) depends on ONE document, so it needs
+    no cross-row aggregation at all — the classic explode+groupBy runs a
+    27M-row hash-agg shuffle to compute something each Arrow batch can
+    produce locally (measured 1.7k CPU-s vs ~100 here at 450k turns).
+    Downstream shuffles then move 1 array-row per doc instead of ~40
+    flat rows (per-row shuffle overhead dominates at constant bytes).
+    This is also the input_hint's mandated shape: tokenization as a
+    vectorized Arrow UDF."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdx_spark.config import TOKEN_PATTERN
+
+    def fn(batches):
+        for pdf in batches:
+            toks = pdf["text"].fillna("").str.lower().str.findall(TOKEN_PATTERN)
+            terms_out, tfs_out, dls = [], [], []
+            for t in toks:
+                c = Counter(t)
+                ks = sorted(c)
+                terms_out.append(ks)
+                tfs_out.append([c[k] for k in ks])
+                dls.append(len(t))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "dl": pd.Series(dls, dtype="int32"),
+                "terms": terms_out, "tfs": tfs_out})
+
+    return with_ids.select("doc_id", "text").mapInPandas(
+        fn, schema=DOC_POSTINGS_SCHEMA)
 
 
 def corpus_stats(docs: DataFrame) -> tuple[int, float]:
@@ -93,3 +156,50 @@ def term_stats(postings_df: DataFrame, n_docs: int, avgdl: float,
             .agg(F.count("*").alias("df"),
                  F.max("tf").alias("max_tf"),
                  F.max(g).alias("gmax")))
+
+
+def term_stats_from_doc_postings(dp: DataFrame, avgdl: float,
+                                 params: BM25Params) -> DataFrame:
+    """TERM_STATS from doc-grouped postings, via Arrow-batched PARTIAL
+    aggregation: each batch collapses to its distinct terms in numpy
+    (bincount / maximum.at), so the final term-keyed shuffle moves
+    ~distinct-terms-per-batch rows, not one row per posting. Skew-safe
+    for the same reason a combiner is. (A JVM explode+agg is ~30x more
+    rows into the partial agg — measured 46s vs ~4s at 450k turns.)"""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from pdx_spark.functions.bm25 import tfnorm_np
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = np.fromiter((len(x) for x in pdf["terms"]),
+                               dtype=np.int64, count=len(pdf))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            terms_flat = pd.Series(
+                list(itertools.chain.from_iterable(pdf["terms"])), dtype=object)
+            tfs = np.fromiter(itertools.chain.from_iterable(pdf["tfs"]),
+                              dtype=np.int64, count=total)
+            dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
+            codes, uniq = pd.factorize(terms_flat, sort=False)
+            g = tfnorm_np(tfs, dls, avgdl, params)
+            df_p = np.bincount(codes, minlength=len(uniq))
+            max_tf = np.zeros(len(uniq), dtype=np.int64)
+            np.maximum.at(max_tf, codes, tfs)
+            gmax = np.zeros(len(uniq), dtype=np.float64)
+            np.maximum.at(gmax, codes, g)
+            yield pd.DataFrame({"term": uniq, "df": df_p,
+                                "max_tf": max_tf, "gmax": gmax})
+
+    partial = dp.mapInPandas(
+        fn, schema="term string, df long, max_tf long, gmax double")
+    return (partial.groupBy("term")
+            .agg(F.sum("df").alias("df"),
+                 F.max("max_tf").cast("int").alias("max_tf"),
+                 F.max("gmax").alias("gmax")))

@@ -59,20 +59,57 @@ def read_manifest(path: str) -> dict:
 def _segment_encoder(cfg: IndexConfig, avgdl: float, params: BM25Params):
     """applyInPandas body: one shard's postings -> SEGMENTS rows."""
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        # group by term without a string sort: factorize (O(n) hash) +
+        # integer lexsort — pandas string sort_values was ~half the
+        # encode cost on Zipf term distributions
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
+        order = np.lexsort((pdf["doc_id"].to_numpy(), codes))
+        terms_c = codes[order]
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+        dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
         shard = int(pdf["shard"].iloc[0])
-        # term run boundaries
-        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        change = np.nonzero(terms_c[1:] != terms_c[:-1])[0] + 1
         starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(terms)]])
+        ends = np.concatenate([change, [len(terms_c)]])
         rows: list[dict] = []
         for s, e in zip(starts, ends):
             rows.extend(encode_blocks(doc_ids[s:e], tfs[s:e], dls[s:e],
-                                      shard, str(terms[s]),
+                                      shard, str(uniques[terms_c[s]]),
+                                      cfg.block_size, avgdl, params))
+        return pd.DataFrame(rows, columns=[f.name for f in schemas.SEGMENTS.fields])
+    return fn
+
+
+def _segment_encoder_docs(cfg: IndexConfig, avgdl: float, params: BM25Params):
+    """applyInPandas body over DOC-GROUPED postings (corpus.doc_postings):
+    one shard's (doc_id, dl, terms[], tfs[]) rows -> SEGMENTS rows.
+    Flattens with np.repeat (no per-token Python), then the same
+    factorize + lexsort + per-run block encode as the flat encoder."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in schemas.SEGMENTS.fields])
+        shard = int(pdf["shard"].iloc[0])
+        lens = np.fromiter((len(x) for x in pdf["terms"]), dtype=np.int64,
+                           count=len(pdf))
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
+        terms_flat = pd.Series(
+            list(itertools.chain.from_iterable(pdf["terms"])), dtype=object)
+        tfs = np.fromiter(itertools.chain.from_iterable(pdf["tfs"]),
+                          dtype=np.int64, count=int(lens.sum()))
+        codes, uniques = pd.factorize(terms_flat, sort=False)
+        order = np.lexsort((doc_ids, codes))
+        terms_c = codes[order]
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        change = np.nonzero(terms_c[1:] != terms_c[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(terms_c)]])
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            rows.extend(encode_blocks(doc_ids[s:e], tfs[s:e], dls[s:e],
+                                      shard, str(uniques[terms_c[s]]),
                                       cfg.block_size, avgdl, params))
         return pd.DataFrame(rows, columns=[f.name for f in schemas.SEGMENTS.fields])
     return fn
@@ -116,31 +153,61 @@ class Indexer:
         # ---- stage A: docs + stats (one pass over the corpus) ----
         docs_path = self._p(path, "docs")
         if manifest["stage"] == "init":
+            timings = {}
+            tt = time.time()
             with_ids = C.assign_doc_ids(transcripts)
             with_ids.persist()
-            docs = C.build_docs(with_ids)
-            docs.write.mode("overwrite").parquet(docs_path)
-            posts = C.postings(with_ids)
-            posts.write.mode("overwrite").parquet(self._p(path, "postings_tmp"))
-            with_ids.unpersist()
+            timings["assign_ids"] = round(time.time() - tt, 2)
 
+            # one tokenize pass feeds docs.dl, term_stats AND the encoder
+            tt = time.time()
+            dp = C.doc_postings(with_ids)
+            if manifest["n_chunks"] > 1:
+                # materialize for per-chunk resumability; single-chunk
+                # builds skip the parquet round-trip (cache instead)
+                dp.write.mode("overwrite").parquet(self._p(path, "postings_tmp"))
+                dp = self.spark.read.parquet(self._p(path, "postings_tmp"))
+            else:
+                dp = dp.persist()
+            timings["doc_postings"] = round(time.time() - tt, 2)
+
+            tt = time.time()
+            docs = C.build_docs(with_ids, dp)
+            docs.write.mode("overwrite").parquet(docs_path)
+            with_ids.unpersist()
+            timings["docs_write"] = round(time.time() - tt, 2)
+
+            tt = time.time()
             docs = self.spark.read.schema(schemas.DOCS).parquet(docs_path)
             n_docs, avgdl = C.corpus_stats(docs)
-            posts = self.spark.read.parquet(self._p(path, "postings_tmp"))
-            ts = C.term_stats(posts, n_docs, avgdl, self.params)
+            timings["corpus_stats"] = round(time.time() - tt, 2)
+
+            tt = time.time()
+            ts = C.term_stats_from_doc_postings(dp, avgdl, self.params)
             ts.sort("term").write.mode("overwrite").parquet(self._p(path, "term_stats"))
+            timings["term_stats"] = round(time.time() - tt, 2)
+            self._posts_cache = dp
+
             manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl)
             manifest["lineage"].append(
-                {"stage": "docs+stats", "rows": n_docs, "sec": round(time.time() - t0, 2)})
+                {"stage": "docs+stats", "rows": n_docs,
+                 "sec": round(time.time() - t0, 2), "timings": timings})
             _write_manifest(path, manifest)
 
         n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
 
         # ---- stage B: blocked segments, chunked + resumable ----
         if manifest["stage"] == "segments":
-            posts = self.spark.read.parquet(self._p(path, "postings_tmp"))
+            posts = getattr(self, "_posts_cache", None)
+            if posts is None:
+                if os.path.exists(self._p(path, "postings_tmp")):
+                    posts = self.spark.read.parquet(self._p(path, "postings_tmp"))
+                else:
+                    # resuming a single-chunk build: recompute postings from
+                    # source (doc-id assignment is deterministic)
+                    posts = C.doc_postings(C.assign_doc_ids(transcripts)).persist()
             posts = posts.withColumn("shard", self.cfg.shard_of_expr())
-            enc = _segment_encoder(self.cfg, avgdl, self.params)
+            enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
             n_chunks = manifest["n_chunks"]
             for chunk in range(n_chunks):
                 key = str(chunk)
@@ -185,6 +252,10 @@ class Indexer:
                 .sort("term", "shard")
                 .write.mode("overwrite").parquet(self._p(path, "directory")))
             shutil.rmtree(self._p(path, "postings_tmp"), ignore_errors=True)
+            cached = getattr(self, "_posts_cache", None)
+            if cached is not None:
+                cached.unpersist()
+                self._posts_cache = None
             manifest["stage"] = "complete"
             manifest["lineage"].append(
                 {"stage": "build_complete", "sec": round(time.time() - t0, 2)})

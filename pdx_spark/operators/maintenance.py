@@ -36,6 +36,7 @@ from pdx_spark import schemas
 from pdx_spark.config import BM25Params, IndexConfig
 from pdx_spark.operators import corpus as C
 from pdx_spark.operators.indexer import (Indexer, _segment_encoder,
+                                         _segment_encoder_docs,
                                          _write_manifest, read_manifest)
 
 
@@ -63,16 +64,17 @@ class Maintainer:
         with_ids = C.assign_doc_ids(transcripts)
         with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(int(next_id)))
         with_ids.persist()
+        dp = C.doc_postings(with_ids).persist()
 
-        new_docs = C.build_docs(with_ids)
+        new_docs = C.build_docs(with_ids, dp)
         new_docs.write.mode("append").parquet(os.path.join(self.path, "docs"))
 
-        posts = C.postings(with_ids).withColumn("shard", self.cfg.shard_of_expr())
-        # block-encode the delta with the ORIGINAL build avgdl: gmax stays a
-        # valid upper bound for pruning as long as avgdl doesn't drift down;
-        # scorer recomputes exact scores from (tf, dl) with current avgdl.
+        posts = dp.withColumn("shard", self.cfg.shard_of_expr())
+        # blocks store (tf, dl); gmax metadata uses build avgdl but pruning
+        # bounds are recomputed from (max_tf, min_dl) at query time, so
+        # avgdl drift cannot over-prune (see searcher._shard_scorer).
         delta_name = f"deltas/delta-{len(self.manifest.get('deltas', []))}"
-        enc = _segment_encoder(self.cfg, self.manifest["avgdl"], self.params)
+        enc = _segment_encoder_docs(self.cfg, self.manifest["avgdl"], self.params)
         seg = posts.groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS)
         final = os.path.join(self.path, delta_name)
         tmp = final + ".tmp"
@@ -86,10 +88,9 @@ class Maintainer:
         # refresh global + per-term stats over the merged corpus
         docs = self._docs()
         n_docs, avgdl = C.corpus_stats(docs)
-        delta_posts = posts.select("term", "doc_id", "tf", "dl")
         old_ts = self.spark.read.schema(schemas.TERM_STATS).parquet(
             os.path.join(self.path, "term_stats"))
-        delta_ts = C.term_stats(delta_posts, n_docs, avgdl, self.params)
+        delta_ts = C.term_stats_from_doc_postings(dp, avgdl, self.params)
         merged = (old_ts.unionByName(delta_ts)
                   .groupBy("term")
                   .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"),
@@ -100,6 +101,7 @@ class Maintainer:
         os.replace(ts_tmp, os.path.join(self.path, "term_stats"))
 
         with_ids.unpersist()
+        dp.unpersist()
         m = self.manifest
         m.setdefault("deltas", []).append(delta_name)
         # refresh directory with delta blocks (AFTER registering the delta:

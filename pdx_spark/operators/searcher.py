@@ -109,22 +109,25 @@ def _shard_scorer(payload: dict, has_mask: bool):
             present = [t for t in qterms if t in term_rows]
             if not present:
                 continue
-            # upper-bound array from metadata only (range-add + cumsum)
-            diff = np.zeros(width + 1, dtype=np.float64)
-            for t in present:
-                s, e = term_rows[t]
-                w = idf[t] * gub[s:e]
-                np.add.at(diff, first[s:e], w)
-                np.add.at(diff, last[s:e] + 1, -w)
-            ub = np.cumsum(diff[:width])
-            cand = ub > 0
+            # candidate mask from block metadata only (range-add + cumsum)
+            # — skipped entirely for unpruned scans (θ=None, no filter)
+            cand = None
             if theta is not None:
-                cand &= ub >= theta - _THETA_GUARD * abs(theta)
+                diff = np.zeros(width + 1, dtype=np.float64)
+                for t in present:
+                    s, e = term_rows[t]
+                    w = idf[t] * gub[s:e]
+                    np.add.at(diff, first[s:e], w)
+                    np.add.at(diff, last[s:e] + 1, -w)
+                ub = np.cumsum(diff[:width])
+                cand = (ub > 0) & (ub >= theta - _THETA_GUARD * abs(theta))
             if allow is not None:
-                cand &= allow
-            if not cand.any():
-                continue
-            ccum = np.concatenate([[0], np.cumsum(cand)])  # block-skip test
+                cand = allow.copy() if cand is None else (cand & allow)
+            ccum = None
+            if cand is not None:
+                if not cand.any():
+                    continue
+                ccum = np.concatenate([[0], np.cumsum(cand)])  # block-skip
 
             if records is None:
                 records = seg_pdf.to_dict("records")
@@ -133,15 +136,23 @@ def _shard_scorer(payload: dict, has_mask: bool):
                 w_idf = idf[t]
                 s, e = term_rows[t]
                 for r in range(s, e):
-                    lo, hi = first[r], last[r]
-                    if ccum[hi + 1] - ccum[lo] == 0:
-                        continue  # no surviving candidate in block
+                    if ccum is not None:
+                        lo, hi = first[r], last[r]
+                        if ccum[hi + 1] - ccum[lo] == 0:
+                            continue  # no surviving candidate in block
                     if r not in decoded:
-                        decoded[r] = decode_block(records[r])
-                    ids, tfs, dls = decoded[r]
-                    scores[ids - base] += w_idf * tfnorm_np(tfs, dls, avgdl, params)
+                        ids, tfs, dls = decode_block(records[r])
+                        # g is query-independent: decode+normalize once,
+                        # reuse across every query in the batch
+                        decoded[r] = (ids - base,
+                                      tfnorm_np(tfs, dls, avgdl, params))
+                    pos, g = decoded[r]
+                    scores[pos] += w_idf * g
 
-            sel = np.flatnonzero(cand & (scores > 0))
+            if cand is None:
+                sel = np.flatnonzero(scores > 0)
+            else:
+                sel = np.flatnonzero(cand & (scores > 0))
             if len(sel) == 0:
                 continue
             order = np.lexsort((sel, -scores[sel]))[:k]
@@ -220,11 +231,20 @@ class Searcher:
 
     def search_batch(self, queries: list[tuple[int, str, int]], *,
                      exact: bool = False, predicate: str | None = None,
-                     seed_shards: int = 2) -> DataFrame:
-        """-> DataFrame(query_id, doc_id, score), per-query top-k.
-        exact=True disables θ-seeding/shard-skip (exhaustive blocked scan,
-        the nprobe=0 analog, searcher.hpp:614-616) — results must be
-        rank-identical either way; only the work differs."""
+                     seed_shards: int = 2, two_phase_min_shards: int = 64,
+                     directory_collect_cap: int = 500_000) -> DataFrame:
+        """-> DataFrame(query_id, doc_id, score), per-query top-k
+        (materialized — result sets are tiny, <= Σ k).
+
+        exact=True forces the exhaustive blocked scan (nprobe=0 analog,
+        searcher.hpp:614-616). Otherwise the planner collects the
+        directory rows of the query terms (tiny: |terms| x |shards|;
+        capped — beyond the cap it falls back to exhaustive), computes
+        per-(query, shard) upper bounds in numpy, and — only when enough
+        shards are skippable to pay for a second job — runs the θ-seeded
+        two-phase scan. Results are rank-identical either way; only the
+        work differs. The adaptive choice mirrors the reference's
+        selectivity-adaptive scan branches (searcher.hpp:321-345)."""
         parsed = []
         for qid, qtext, k in queries:
             terms = sorted(set(tokenize_py(qtext)))
@@ -250,29 +270,31 @@ class Searcher:
         if exact:
             qspec = [(q, ts, k, None) for q, ts, k in live]
             res = self._scan(seg, qspec, idf, mask_df, pred_mode)
-            return self._global_topk(res, live)
+            return self._materialize(self._global_topk(res, live))
 
-        # ---- phase 1: rank shards by directory upper bound (S2 analog) ----
-        from pdx_spark.functions.bm25 import tfnorm_col
-        qterms_rows = [(q, t, float(idf[t])) for q, ts, _ in live for t in ts]
-        qt = self.spark.createDataFrame(qterms_rows, "query_id int, term string, idf double")
-        gub = tfnorm_col(F.col("max_tf"), F.col("min_dl"),
-                         F.lit(self.avgdl), self.params)
-        ub_df = (self.directory().filter(F.col("term").isin(all_terms))
-                 .join(F.broadcast(qt), "term")
-                 .groupBy("query_id", "shard")
-                 .agg(F.sum(F.col("idf") * gub).alias("ub")))
-        ub_df = ub_df.persist()
-        w = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("shard"))
-        seed = (ub_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= seed_shards)
-                .select("shard").distinct())
+        # ---- driver-side plan from the directory (S2/S3 analog) ----
+        plan = self._plan(live, idf, all_terms, directory_collect_cap)
+        if plan is None or len(plan["shards"]) < max(two_phase_min_shards,
+                                                     4 * seed_shards):
+            # pruning can't skip enough shards to pay for a second job
+            qspec = [(q, ts, k, None) for q, ts, k in live]
+            res = self._scan(seg, qspec, idf, mask_df, pred_mode)
+            return self._materialize(self._global_topk(res, live))
 
-        # ---- phase 2: seed scan -> θ per query ----
-        seed_seg = seg.join(F.broadcast(seed), "shard", "left_semi")
+        import numpy as np
+        shards = plan["shards"]              # sorted shard ids, len S
+        ub = plan["ub"]                      # dict q -> float[S]
+        seeds: set[int] = set()
+        for q, _, _ in live:
+            order = np.lexsort((shards, -ub[q]))[:seed_shards]
+            seeds.update(int(shards[i]) for i in order if ub[q][i] > 0)
+        seed_list = sorted(seeds)
+
+        # ---- seed scan (Start analog): exact scores -> θ per query ----
+        seg = seg.persist()
+        seed_seg = seg.filter(F.col("shard").isin(seed_list))
         qspec = [(q, ts, k, None) for q, ts, k in live]
-        seed_res = self._scan(seed_seg, qspec, idf, mask_df, pred_mode)
-        seed_local = seed_res.collect()
+        seed_local = self._scan(seed_seg, qspec, idf, mask_df, pred_mode).collect()
         theta: dict[int, float] = {}
         by_q: dict[int, list] = {}
         for r in seed_local:
@@ -283,23 +305,84 @@ class Searcher:
             if len(rows) >= kmap[q]:
                 theta[q] = rows[kmap[q] - 1][1]
 
-        # ---- phase 3: main scan over shards that can still beat θ ----
-        theta_rows = [(q, theta.get(q)) for q, _, _ in live]
-        tdf = self.spark.createDataFrame(theta_rows, "query_id int, theta double")
-        guard = F.col("theta") - F.lit(_THETA_GUARD) * F.abs(F.col("theta"))
-        need = (ub_df.join(F.broadcast(tdf), "query_id")
-                .filter(F.col("theta").isNull() | (F.col("ub") >= guard))
-                .select("shard").distinct()
-                .join(seed, "shard", "left_anti"))
-        main_seg = seg.join(F.broadcast(need), "shard", "left_semi")
-        qspec = [(q, ts, k, theta.get(q)) for q, ts, k in live]
-        main_res = self._scan(main_seg, qspec, idf, mask_df, pred_mode)
-        ub_df.unpersist()
+        # ---- main scan over shards that can still beat θ ----
+        need: set[int] = set()
+        for q, _, _ in live:
+            th = theta.get(q)
+            if th is None:
+                need.update(int(s) for i, s in enumerate(shards)
+                            if ub[q][i] > 0)
+            else:
+                guard = th - _THETA_GUARD * abs(th)
+                need.update(int(shards[i])
+                            for i in np.flatnonzero(ub[q] >= guard))
+        need -= seeds
+        if need:
+            if len(need) > 10_000:
+                # big skip lists: broadcast semi-join beats a giant IN ()
+                ndf = self.spark.createDataFrame(
+                    [(int(s),) for s in sorted(need)], "shard long")
+                main_seg = seg.join(F.broadcast(ndf), "shard", "left_semi")
+            else:
+                main_seg = seg.filter(F.col("shard").isin(sorted(need)))
+            qspec = [(q, ts, k, theta.get(q)) for q, ts, k in live]
+            main_rows = self._scan(main_seg, qspec, idf, mask_df,
+                                   pred_mode).collect()
+        else:
+            main_rows = []
+        seg.unpersist()
 
-        seed_df = self.spark.createDataFrame(
-            [(r["query_id"], r["doc_id"], r["score"]) for r in seed_local] or [],
-            schemas.RESULTS)
-        return self._global_topk(main_res.unionByName(seed_df), live)
+        allr = ([(r["query_id"], r["doc_id"], r["score"]) for r in seed_local]
+                + [(r["query_id"], r["doc_id"], r["score"]) for r in main_rows])
+        out: list = []
+        by_q2: dict[int, list] = {}
+        for q, d, sc in allr:
+            by_q2.setdefault(q, []).append((d, sc))
+        for q, rows in by_q2.items():
+            rows.sort(key=lambda x: (-x[1], x[0]))
+            out.extend((q, d, sc) for d, sc in rows[:kmap[q]])
+        return self.spark.createDataFrame(out or [], schemas.RESULTS)
+
+    def _plan(self, live, idf, all_terms, cap):
+        """Collect (term, shard, max_tf, min_dl) directory rows for the
+        query terms and compute per-(query, shard) upper bounds in numpy.
+        Returns None when the directory slice exceeds `cap` rows (fall
+        back to Spark-side exhaustive scan rather than a driver OOM)."""
+        import numpy as np
+        rows = (self.directory().filter(F.col("term").isin(all_terms))
+                .select("term", "shard", "max_tf", "min_dl")
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            return None
+        if not rows:
+            return {"shards": np.array([], dtype=np.int64), "ub": {}}
+        from pdx_spark.functions.bm25 import tfnorm_np
+        shards = np.array(sorted({r["shard"] for r in rows}), dtype=np.int64)
+        pos = {int(s): i for i, s in enumerate(shards)}
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        term_ub = {}
+        for t, rs in by_term.items():
+            v = np.zeros(len(shards))
+            g = tfnorm_np(np.array([r["max_tf"] for r in rs]),
+                          np.array([r["min_dl"] for r in rs]),
+                          self.avgdl, self.params)
+            for r, gi in zip(rs, g):
+                v[pos[int(r["shard"])]] = idf[t] * gi
+            term_ub[t] = v
+        ub = {}
+        for q, ts, _ in live:
+            acc = np.zeros(len(shards))
+            for t in ts:
+                if t in term_ub:
+                    acc += term_ub[t]
+            ub[q] = acc
+        return {"shards": shards, "ub": ub}
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        rows = [(r["query_id"], r["doc_id"], r["score"]) for r in df.collect()]
+        return self.spark.createDataFrame(rows or [], schemas.RESULTS)
 
     # -- internals -----------------------------------------------------------
     def _mask_df(self, predicate: str | None):

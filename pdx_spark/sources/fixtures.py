@@ -127,7 +127,11 @@ def transcripts_path(scale: str = "small") -> str:
     if not os.path.exists(path):
         pdf = make_transcripts_pdf(SCALE_CONVS[scale])
         tmp = path + ".tmp"
-        pdf.to_parquet(tmp, index=False)
+        # us precision: Spark's parquet reader rejects ns timestamps.
+        # Small row groups: parquet parallelism = row-group count; a
+        # single-row-group file serializes every downstream scan.
+        pdf.to_parquet(tmp, index=False, coerce_timestamps="us",
+                       row_group_size=8192)
         os.replace(tmp, path)
     return path
 

@@ -83,7 +83,6 @@ def test_minhash_lsh_finds_exact_dups(docs_df):
 
 def test_simhash_identical_for_dups_and_distant_for_unrelated(docs_df):
     sims = {r["doc_id"]: r["simhash"] for r in simhash63(docs_df).collect()}
-    assert sims[0] == sims[1] == sims[2] or True  # near-dups may differ...
     assert sims[0] == sims[1]          # exact dups identical
     assert sims[3] == sims[4]          # tokenized dups identical
     assert all(0 <= v < (1 << 63) for v in sims.values())

@@ -58,7 +58,7 @@ def test_append_then_find(spark, tmp_path, corpus_pdfs):
     queries = list(QUERIES)
     if needle:
         queries.append((9, needle, 5))
-    res = searcher.search_batch(queries).persist()
+    res = searcher.search_batch(queries, two_phase_min_shards=2).persist()
     for qid, qtext, k in queries:
         want = oracle.topk(qtext, k)
         assert_rank_identical(collect_topk(res, qid), want, f"append q{qid}")
@@ -81,7 +81,7 @@ def test_delete_then_absent_and_compact(spark, tmp_path, corpus_pdfs):
     oracle = BM25Oracle(live_texts)
 
     searcher = Searcher.load(spark, path)
-    res = searcher.search_batch(QUERIES).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
     for qid, qtext, k in QUERIES:
         got = collect_topk(res, qid)
         assert not set(dead_ids) & {d for d, _ in got}
@@ -92,7 +92,7 @@ def test_delete_then_absent_and_compact(spark, tmp_path, corpus_pdfs):
     Maintainer(spark, path).compact()
     searcher = Searcher.load(spark, path)
     assert read_manifest(path)["tombstones"] == 0
-    res = searcher.search_batch(QUERIES).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
     for qid, qtext, k in QUERIES:
         want = oracle.topk(qtext, k)
         assert_rank_identical(collect_topk(res, qid), want, f"compacted q{qid}")
@@ -120,7 +120,7 @@ def test_resume_equals_fresh(spark, tmp_path, corpus_pdfs):
     # postings_tmp was cleaned at directory stage; restore it by rebuilding
     from pdx_spark.operators import corpus as C
     ids = C.assign_doc_ids(df)
-    C.postings(ids).write.mode("overwrite").parquet(
+    C.doc_postings(ids).write.mode("overwrite").parquet(
         os.path.join(broken, "postings_tmp"))
     with open(os.path.join(broken, "manifest.json"), "w") as f:
         json.dump(m, f)

@@ -1,0 +1,49 @@
+"""Parallelism-invariance: the index content and query results must be
+byte-identical regardless of shuffle parallelism (the sandbox proxy for
+"more executors => same answer", north rule; reference determinism
+tests test_search.cpp:433-464)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdx_spark.config import IndexConfig
+from pdx_spark.operators.indexer import Indexer
+from pdx_spark.operators.searcher import Searcher
+from pdx_spark.schemas import TRANSCRIPTS
+from pdx_spark.sources.fixtures import make_transcripts_pdf
+
+CFG = IndexConfig(block_size=16, docs_per_shard=64)
+
+
+def _build_at(spark, df, path, shuffle_partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        Indexer(spark, cfg=CFG).build(df, path)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_index_and_results_invariant_to_parallelism(spark, tmp_path):
+    pdf = make_transcripts_pdf(40)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+
+    a_path, b_path = str(tmp_path / "p3"), str(tmp_path / "p13")
+    _build_at(spark, df, a_path, 3)
+    _build_at(spark, df, b_path, 13)
+
+    cols = ["term", "shard", "block_id", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "ids", "tfs", "dls"]
+    a = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(a_path + "/segments/base").select(cols)
+    b = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(b_path + "/segments/base").select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    sa, sb = Searcher.load(spark, a_path), Searcher.load(spark, b_path)
+    assert sa.n_docs == sb.n_docs and sa.avgdl == sb.avgdl
+    for q in ["w0000", "w0002 w0100", "w1500 w2500 w0001"]:
+        ra = sa.search(q, k=10)
+        rb = sb.search(q, k=10)
+        assert ra == rb, q  # ids AND float scores bit-equal
