@@ -52,10 +52,12 @@ def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _index_for(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _IDX_CACHE:
         from pdx_spark.operators.indexer import Indexer
-        path = os.path.join(tempfile.gettempdir(),
-                            "pdx_entry_idx_" + sf_dir.strip("/").replace("/", "_"))
+        cfg = IndexConfig(block_size=64, docs_per_shard=256)
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"pdx_entry_idx_v{cfg.format_version}_b{cfg.block_size}"
+            f"_s{cfg.docs_per_shard}_" + sf_dir.strip("/").replace("/", "_"))
         if not os.path.exists(os.path.join(path, "manifest.json")):
-            cfg = IndexConfig(block_size=64, docs_per_shard=256)
             Indexer(spark, cfg=cfg).build(_documents_as_transcripts(spark, sf_dir),
                                           path, n_chunks=1)
         _IDX_CACHE[sf_dir] = path
@@ -395,6 +397,79 @@ def q_top_customers(spark, sf_dir):
             .orderBy(F.desc("total"), F.asc("c_name")).limit(10))
 
 
+def _transcripts_fixture_path() -> str:
+    from pdx_spark.sources.fixtures import transcripts_path
+    return transcripts_path("small")
+
+
+_TIDX_CACHE: dict[str, str] = {}
+
+
+def _transcripts_searcher(spark):
+    """Engine index over the deterministic transcripts fixture (seed 42,
+    ~8k turns) — the north-rule corpus shape end-to-end."""
+    from pdx_spark.operators.indexer import Indexer
+    from pdx_spark.operators.searcher import Searcher
+    from pdx_spark.schemas import TRANSCRIPTS
+    p = _transcripts_fixture_path()
+    if p not in _TIDX_CACHE:
+        cfg = IndexConfig(block_size=64, docs_per_shard=512)
+        path = os.path.join(tempfile.gettempdir(),
+                            f"pdx_entry_tidx_v{cfg.format_version}"
+                            f"_b{cfg.block_size}_s{cfg.docs_per_shard}")
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            df = spark.read.schema(TRANSCRIPTS).parquet(p)
+            Indexer(spark, cfg=cfg).build(df, path, n_chunks=2)
+        _TIDX_CACHE[p] = path
+    return Searcher.load(spark, _TIDX_CACHE[p])
+
+
+def q_transcripts_bm25(spark, sf_dir):
+    """Pruned engine over the transcripts fixture; oracle recomputes BM25
+    in SQL over the same parquet with doc_id = dense (conv_id, turn_idx)
+    rank — validates id assignment + tokenize + stats + blocks + WAND."""
+    s = _transcripts_searcher(spark)
+    res = s.search_batch([(0, TRANS_QUERY, 10)], two_phase_min_shards=2)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (res.join(keys, "doc_id")
+            .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))
+
+
+def q_transcripts_filtered(spark, sf_dir):
+    s = _transcripts_searcher(spark)
+    res = s.search_batch([(0, "w0001 w0050", 10)],
+                         predicate="role = 'assistant'",
+                         two_phase_min_shards=2)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (res.join(keys, "doc_id")
+            .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))
+
+
+def q_transcripts_roundtrip(spark, sf_dir):
+    """Per-turn invariant (input_hint): stable (conv_id, turn_idx)
+    ordering with dense doc_id and correct per-turn token length."""
+    s = _transcripts_searcher(spark)
+    return (s.docs()
+            .select("doc_id", "conv_id", "turn_idx",
+                    F.col("dl").cast("bigint").alias("dl")))
+
+
+def q_block_layout(spark, sf_dir):
+    """Structural oracle of the PDX-layout analog: block metadata
+    (first/last doc, n, max_tf, min_dl) for every block of two terms,
+    recomputed independently in SQL from the raw corpus. Any drift in
+    sharding, block chunking, ordering, or tf counting breaks this."""
+    s = _searcher(spark, sf_dir)
+    seg = s.segments().filter(F.col("term").isin(["spark", "data"]))
+    return seg.select(
+        "term", F.col("shard").cast("bigint").alias("shard"),
+        F.col("block_id").cast("bigint").alias("block_id"),
+        F.col("n").cast("bigint").alias("n"),
+        "first_doc", "last_doc",
+        F.col("max_tf").cast("bigint").alias("max_tf"),
+        F.col("min_dl").cast("bigint").alias("min_dl"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (stubbed decode — rows-only check)."""
     from pdx_spark.operators.multimodal import extract_features, synthesize_media
@@ -433,6 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
         "media_features": q_media_features,
+        "transcripts_bm25": q_transcripts_bm25,
+        "transcripts_filtered": q_transcripts_filtered,
+        "transcripts_roundtrip": q_transcripts_roundtrip,
+        "block_layout": q_block_layout,
     }
 
 
@@ -506,9 +585,80 @@ def _stop_list(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+def _bm25_trans_sql(query_terms: list[str], k: int, where: str = "TRUE") -> str:
+    """BM25 over the transcripts fixture parquet: doc_id = dense
+    (conv_id, turn_idx) rank, candidates restricted by `where`, stats
+    global (same semantics as _bm25_sql)."""
+    path = _transcripts_fixture_path()
+    terms = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH trans AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, role, tool, text
+  FROM read_parquet('{path}')
+),
+corpus AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM trans),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+qterms(term) AS (VALUES {terms}),
+tf AS (
+  SELECT d.doc_id, d.dl, u.t AS term, count(*) AS tf
+  FROM docs d, unnest(d.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * {BM25.k1 + 1.0})
+             / (tf.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  WHERE doc_id IN (SELECT doc_id FROM trans WHERE {where})
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.conv_id, t.turn_idx, top.score
+FROM top JOIN trans t USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fp_step = "(a * 31 + b) % 1000000007"
+    trans_path = _transcripts_fixture_path()
     sql = {
+        "transcripts_bm25": _bm25_trans_sql(TRANS_QUERY.split(), 10),
+        "transcripts_filtered": _bm25_trans_sql(
+            ["w0001", "w0050"], 10, where="role = 'assistant'"),
+        "transcripts_roundtrip": f"""
+            SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1
+                     AS doc_id,
+                   conv_id, turn_idx,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '[a-z0-9]+')) AS dl
+            FROM read_parquet('{trans_path}')""",
+        "block_layout": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            tf AS (
+              SELECT doc_id, t AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+              WHERE t IN ('spark', 'data') GROUP BY 1, 2),
+            posts AS (
+              SELECT term, tf.doc_id, tf.tf, len(k.tk) AS dl,
+                     tf.doc_id // 256 AS shard
+              FROM tf JOIN toks k ON k.doc_id = tf.doc_id),
+            numbered AS (
+              SELECT *, row_number() OVER (PARTITION BY term, shard
+                          ORDER BY doc_id) - 1 AS rn
+              FROM posts)
+            SELECT term, shard, rn // 64 AS block_id, count(*) AS n,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                   max(tf) AS max_tf, min(dl) AS min_dl
+            FROM numbered GROUP BY 1, 2, 3""",
         "bm25_exact": _bm25_sql(DOC_QUERY.split(), 10),
         "bm25_pruned": _bm25_sql(DOC_QUERY.split(), 10),
         "bm25_pruned_multi": (

@@ -38,6 +38,37 @@ SCALE_BY_SF = {0.001: "tiny", 0.01: "small", 0.1: "bench"}
 FIXTURE_SCALE = os.environ.get("PDX_BENCH_SCALE", SCALE_BY_SF[_SF])
 
 
+def proc_tree_cpu() -> float:
+    """CPU-seconds consumed by THIS process tree (python driver + Spark
+    JVM + python workers, including reaped children via cutime/cstime).
+    /proc/stat is host-wide on this box — neighbor tenants pollute it —
+    so work accounting must be per-subtree."""
+    me = os.getpid()
+    procs = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # after comm: field 1=state, 2=ppid, 12..15=utime,stime,cutime,cstime
+            procs[int(d)] = (int(parts[1]),
+                             int(parts[11]) + int(parts[12])
+                             + int(parts[13]) + int(parts[14]))
+        except Exception:
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+        stack.extend(children.get(pid, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
 def run_leg(cores: int, queries, trans_path: str, warmup: bool = True) -> dict:
     """Build index + run the batched query set at local[cores]."""
     from pdx_spark.config import IndexConfig, get_spark
@@ -61,18 +92,22 @@ def run_leg(cores: int, queries, trans_path: str, warmup: bool = True) -> dict:
             shutil.rmtree(wpath, ignore_errors=True)
 
         shutil.rmtree(idx_path, ignore_errors=True)
+        c0 = proc_tree_cpu()
         t0 = time.time()
         Indexer(spark, cfg=IndexConfig()).build(df, idx_path, n_chunks=1)
         out["build_sec"] = time.time() - t0
+        out["build_cpu_sec"] = proc_tree_cpu() - c0
         out["build_turns_per_sec"] = n_turns / out["build_sec"]
 
         searcher = Searcher.load(spark, idx_path)
         searcher.search_batch(queries[:4])  # warmup
 
+        c0 = proc_tree_cpu()
         t0 = time.time()
         res = searcher.search_batch(queries)
         out["result_rows"] = res.count()
         out["query_sec"] = time.time() - t0
+        out["query_cpu_sec"] = proc_tree_cpu() - c0
         out["qps"] = len(queries) / out["query_sec"]
 
         t0 = time.time()

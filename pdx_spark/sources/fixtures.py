@@ -116,7 +116,7 @@ def make_queries_pdf(n_queries: int = 200, seed: int = SEED) -> pd.DataFrame:
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
 
-SCALE_CONVS = {"tiny": 50, "small": 1000, "bench": 50000}
+SCALE_CONVS = {"tiny": 50, "small": 1000, "bench": 50000, "xbench": 500000}
 
 
 def transcripts_path(scale: str = "small") -> str:
