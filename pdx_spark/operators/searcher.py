@@ -6,26 +6,34 @@ Mirrors the reference's pruned scan (PDXearch::Search,
   1. Query prep on the driver: tokenize, fetch idf of query terms from
      the term_stats parquet (filter pushdown on the sorted `term`
      column) — analog of rotate-the-query (searcher.hpp:602-613).
-  2. Seed scan ("Start", searcher.hpp:218-281): exactly score the most
-     promising shards per the broadcast directory (highest summed
-     upper bound first — PDX's "most promising clusters first"),
-     seeding the pruning threshold θ with the k-th best score.
-  3. Main scan ("Warmup/Prune", searcher.hpp:376-540): only shards whose
-     directory upper bound can still beat θ are read (left-semi join —
-     partition pruning by score metadata); inside each shard the scorer
-     builds a per-doc upper-bound array from block metadata alone (no
-     decode) with a range-add/cumsum trick, masks docs below θ, skips
-     blocks containing no surviving candidate, and fully scores the
-     rest vectorized (numpy is our SIMD; scalar_computers.hpp:19-44's
-     role). Exactness: every block containing a candidate is decoded,
-     so candidate scores are complete; pruned docs provably score < θ.
-  4. Global merge: per-shard top-k union -> window top-k per query
-     (Spark's TakeOrderedAndProject-equivalent), tie-break
-     (score desc, doc_id asc).
+  2. Spark-side plan: the directory slice of the query terms joins a
+     broadcast (query, term, idf) frame and aggregates to per-
+     (query, shard) upper bounds — the "rank clusters by promise" step
+     (searcher.hpp:181-215) as a DataFrame, never collected.
+  3. Seed scan ("Start", searcher.hpp:218-281): each query's most
+     promising `seed_shards` shards are scored exactly; the ONLY thing
+     that crosses to the driver is the k-th best seed score per query
+     (θ) — Q floats, not candidate rows.
+  4. Main scan ("Warmup/Prune", searcher.hpp:376-540): per-(query,
+     shard) assignments where the upper bound can still beat θ are
+     cogrouped with the segments, so a shard scores only the queries
+     routed to it (work = Σ_q |shards_q|, not |shards| × Q). Inside a
+     shard the scorer builds a per-doc upper-bound array from block
+     metadata alone (range-add/cumsum), masks docs below θ, skips
+     blocks with no surviving candidate, and fully scores the rest
+     vectorized (numpy is our SIMD; scalar_computers.hpp:19-44's role).
+     Exactness: every block containing a candidate is decoded, so
+     candidate scores are complete; pruned docs provably score < θ.
+  5. Global merge: seed ∪ main results -> window top-k per query
+     (Spark's TakeOrderedAndProject-equivalent, executor-side), then a
+     final Σk-row collect. Tie-break (score desc, doc_id asc).
 
 Everything between steps is a DataFrame; the scorer is one Arrow-batched
 applyInPandas per shard. Queries run as a batch (one pass scores all
-queries of the batch — amortizes job overhead, SURVEY §7.4).
+queries of the batch — amortizes job overhead, SURVEY §7.4). A batch is
+exactly three Spark jobs: idf lookup, seed scan (→ θ), main scan +
+merge — the Amdahl serial fraction is job scheduling only, which is what
+makes query throughput scale with executors (north rule ≥0.8 N→4N).
 """
 
 from __future__ import annotations
@@ -38,53 +46,83 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdx_spark import schemas
-from pdx_spark.config import BM25Params, IndexConfig
+from pdx_spark.config import SEED, BM25Params, IndexConfig
 from pdx_spark.functions.blocks import decode_block
-from pdx_spark.functions.bm25 import idf_np, tfnorm_np
+from pdx_spark.functions.bm25 import idf_np, tfnorm_col, tfnorm_np
 from pdx_spark.functions.tokenize import tokenize_py
 from pdx_spark.operators.indexer import read_manifest
 
 _THETA_GUARD = 1e-9  # float-monotonicity guard on upper-bound comparisons
 
+# cogroup side-channel row kinds (one aux frame carries both because
+# applyInPandas cogroups exactly two frames)
+_KIND_MASK = 0   # (shard, kind=0, id=doc_id, p): selection-vector row
+_KIND_QUERY = 1  # (shard, kind=1, id=query_id): per-shard query routing
 
-def _shard_scorer(payload: dict, has_mask: bool):
+_AUX_SCHEMA = "shard long, kind int, id long, p int"
+
+
+def _shard_scorer(payload: dict, has_aux: bool):
     """Build the per-shard scoring function.
 
     payload: {queries: [(qid, [terms sorted], k, theta|None)],
-              idf: {term: float}, avgdl, k1, b, docs_per_shard}
-    has_mask: scorer receives a second cogrouped frame of
-              (shard, doc_id, p) rows — p=1 allowed-by-predicate,
-              p=0 tombstoned. (reference analog: selection vectors,
-              db_mock/predicate_evaluator.hpp:9-31)
+              idf: {term: float}, avgdl, k1, b, docs_per_shard,
+              assigned: bool, has_mask: bool}
+    has_aux: scorer receives a second cogrouped frame of
+             (shard, kind, id, p) rows — kind=0 mask rows (p=1
+             allowed-by-predicate, p=0 tombstoned/denied; the
+             selection-vector analog of
+             db_mock/predicate_evaluator.hpp:9-31), kind=1 query
+             routing rows (this shard scores only those query ids).
     """
     queries = payload["queries"]
     idf = payload["idf"]
     avgdl = payload["avgdl"]
     params = BM25Params(k1=payload["k1"], b=payload["b"])
     width = payload["docs_per_shard"]
+    assigned = payload["assigned"]
+    has_mask = payload["has_mask"]
     # predicate_mode: None (no predicate), "allow" (mask rows are the
     # passing docs, low selectivity) or "deny" (mask rows are the failing
     # docs, high selectivity) — the F3 selectivity-adaptive branch.
     predicate_mode = payload.get("predicate_mode")
     out_cols = ["query_id", "doc_id", "score"]
+    empty_out = pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
 
-    def score_shard(seg_pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None):
+    def score_shard(seg_pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None):
         if len(seg_pdf) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return empty_out
         shard = int(seg_pdf["shard"].iloc[0])
         base = shard * width
 
+        assigned_ids = None
+        mask_ids = mask_p = None
+        if aux_pdf is not None and len(aux_pdf):
+            kind = aux_pdf["kind"].to_numpy()
+            if assigned:
+                assigned_ids = set(
+                    aux_pdf["id"].to_numpy()[kind == _KIND_QUERY].tolist())
+            if has_mask:
+                msel = kind == _KIND_MASK
+                mask_ids = aux_pdf["id"].to_numpy(dtype=np.int64)[msel]
+                mask_p = aux_pdf["p"].to_numpy()[msel]
+        if assigned and not assigned_ids:
+            return empty_out  # no query routed to this shard
+
         # doc-level allow/block mask for this shard (selection-vector analog)
         allow = None
-        if mask_pdf is not None and (predicate_mode == "allow" or len(mask_pdf)):
+        if has_mask and (predicate_mode == "allow"
+                         or (mask_ids is not None and len(mask_ids))):
             if predicate_mode == "allow":
                 allow = np.zeros(width, dtype=bool)
-                ok = mask_pdf.loc[mask_pdf["p"] == 1, "doc_id"].to_numpy() - base
-                allow[ok] = True
+                if mask_ids is not None:
+                    allow[mask_ids[mask_p == 1] - base] = True
             else:  # "deny" predicate and/or tombstones: baseline all-pass
                 allow = np.ones(width, dtype=bool)
-            bad = mask_pdf.loc[mask_pdf["p"] == 0, "doc_id"].to_numpy() - base
-            allow[bad] = False
+            if mask_ids is not None:
+                allow[mask_ids[mask_p == 0] - base] = False
 
         # group block rows by term (term -> row indices, block_id order)
         seg_pdf = seg_pdf.sort_values(["term", "block_id"], kind="mergesort")
@@ -106,6 +144,8 @@ def _shard_scorer(payload: dict, has_mask: bool):
 
         out_q, out_d, out_s = [], [], []
         for qid, qterms, k, theta in queries:
+            if assigned_ids is not None and qid not in assigned_ids:
+                continue
             present = [t for t in qterms if t in term_rows]
             if not present:
                 continue
@@ -165,9 +205,9 @@ def _shard_scorer(payload: dict, has_mask: bool):
                              "doc_id": pd.Series(out_d, dtype="int64"),
                              "score": pd.Series(out_s, dtype="float64")})
 
-    if has_mask:
-        def fn(key, seg_pdf, mask_pdf):  # cogrouped variant
-            return score_shard(seg_pdf, mask_pdf)
+    if has_aux:
+        def fn(key, seg_pdf, aux_pdf):  # cogrouped variant
+            return score_shard(seg_pdf, aux_pdf)
     else:
         def fn(seg_pdf):
             return score_shard(seg_pdf, None)
@@ -187,6 +227,7 @@ class Searcher:
         self.cfg = IndexConfig(**p["layout"])
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
+        self._sel_sample = None  # cached docs sample for selectivity est.
 
     @classmethod
     def load(cls, spark, path: str) -> "Searcher":
@@ -231,20 +272,20 @@ class Searcher:
 
     def search_batch(self, queries: list[tuple[int, str, int]], *,
                      exact: bool = False, predicate: str | None = None,
-                     seed_shards: int = 2, two_phase_min_shards: int = 64,
-                     directory_collect_cap: int = 500_000) -> DataFrame:
+                     seed_shards: int = 2,
+                     two_phase_min_shards: int = 64) -> DataFrame:
         """-> DataFrame(query_id, doc_id, score), per-query top-k
         (materialized — result sets are tiny, <= Σ k).
 
         exact=True forces the exhaustive blocked scan (nprobe=0 analog,
-        searcher.hpp:614-616). Otherwise the planner collects the
-        directory rows of the query terms (tiny: |terms| x |shards|;
-        capped — beyond the cap it falls back to exhaustive), computes
-        per-(query, shard) upper bounds in numpy, and — only when enough
-        shards are skippable to pay for a second job — runs the θ-seeded
-        two-phase scan. Results are rank-identical either way; only the
-        work differs. The adaptive choice mirrors the reference's
-        selectivity-adaptive scan branches (searcher.hpp:321-345)."""
+        searcher.hpp:614-616). Otherwise, when the index has enough
+        shards for shard-skipping to pay for a second job, the θ-seeded
+        two-phase scan runs: planning, candidate routing, and the result
+        merge all stay Spark-side; the driver sees only the k-th seed
+        score per query (θ) and the final Σk rows. Results are
+        rank-identical either way; only the work differs. The adaptive
+        choice mirrors the reference's selectivity-adaptive scan
+        branches (searcher.hpp:321-345)."""
         parsed = []
         for qid, qtext, k in queries:
             terms = sorted(set(tokenize_py(qtext)))
@@ -267,134 +308,113 @@ class Searcher:
         seg = self.segments().filter(F.col("term").isin(all_terms))
         mask_df, pred_mode = self._mask_df(predicate)
 
-        if exact:
-            qspec = [(q, ts, k, None) for q, ts, k in live]
-            res = self._scan(seg, qspec, idf, mask_df, pred_mode)
-            return self._materialize(self._global_topk(res, live))
-
-        # ---- driver-side plan from the directory (S2/S3 analog) ----
-        plan = self._plan(live, idf, all_terms, directory_collect_cap)
-        if plan is None or len(plan["shards"]) < max(two_phase_min_shards,
-                                                     4 * seed_shards):
+        n_shards_total = -(-self.n_docs // self.cfg.docs_per_shard)
+        if exact or n_shards_total < max(two_phase_min_shards,
+                                         4 * seed_shards):
             # pruning can't skip enough shards to pay for a second job
             qspec = [(q, ts, k, None) for q, ts, k in live]
             res = self._scan(seg, qspec, idf, mask_df, pred_mode)
             return self._materialize(self._global_topk(res, live))
 
-        import numpy as np
-        shards = plan["shards"]              # sorted shard ids, len S
-        ub = plan["ub"]                      # dict q -> float[S]
-        seeds: set[int] = set()
-        for q, _, _ in live:
-            order = np.lexsort((shards, -ub[q]))[:seed_shards]
-            seeds.update(int(shards[i]) for i in order if ub[q][i] > 0)
-        seed_list = sorted(seeds)
+        # ---- Spark-side plan (S2/S3 analog): per-(query, shard) upper
+        # bounds from the directory slice of the query terms. Never
+        # collected — at 10^8 shards this frame is distributed work.
+        qterms = self.spark.createDataFrame(
+            [(int(q), t, float(idf[t])) for q, ts, _ in live for t in ts],
+            "query_id int, term string, idf double")
+        ub_df = (self.directory()
+                 .filter(F.col("term").isin(all_terms))
+                 .select("term", "shard", "max_tf", "min_dl")
+                 .join(F.broadcast(qterms), "term")
+                 .withColumn("contrib", F.col("idf") * tfnorm_col(
+                     F.col("max_tf"), F.col("min_dl"),
+                     F.lit(float(self.avgdl)), self.params))
+                 .groupBy("query_id", "shard")
+                 .agg(F.sum("contrib").alias("ub"))
+                 .filter(F.col("ub") > 0)
+                 .persist())
 
-        # ---- seed scan (Start analog): exact scores -> θ per query ----
+        # ---- seed scan (Start analog): each query's most promising
+        # shards, scored exactly; per-(query, shard) routing rides the
+        # cogroup channel so a shard scores only its own queries.
+        wseed = Window.partitionBy("query_id").orderBy(F.desc("ub"),
+                                                       F.asc("shard"))
+        seed_asg = (ub_df.withColumn("_rn", F.row_number().over(wseed))
+                    .filter(F.col("_rn") <= seed_shards)
+                    .select("query_id", "shard"))
         seg = seg.persist()
-        seed_seg = seg.filter(F.col("shard").isin(seed_list))
-        qspec = [(q, ts, k, None) for q, ts, k in live]
-        seed_local = self._scan(seed_seg, qspec, idf, mask_df, pred_mode).collect()
-        theta: dict[int, float] = {}
-        by_q: dict[int, list] = {}
-        for r in seed_local:
-            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
-        kmap = {q: k for q, _, k in live}
-        for q, rows in by_q.items():
-            rows.sort(key=lambda x: (-x[1], x[0]))
-            if len(rows) >= kmap[q]:
-                theta[q] = rows[kmap[q] - 1][1]
+        seed_seg = seg.join(F.broadcast(seed_asg.select("shard").distinct()),
+                            "shard", "left_semi")
+        qspec0 = [(q, ts, k, None) for q, ts, k in live]
+        seed_res = self._scan(seed_seg, qspec0, idf, mask_df, pred_mode,
+                              asg_df=seed_asg).persist()
 
-        # ---- main scan over shards that can still beat θ ----
-        need: set[int] = set()
-        for q, _, _ in live:
-            th = theta.get(q)
-            if th is None:
-                need.update(int(s) for i, s in enumerate(shards)
-                            if ub[q][i] > 0)
-            else:
-                guard = th - _THETA_GUARD * abs(th)
-                need.update(int(shards[i])
-                            for i in np.flatnonzero(ub[q] >= guard))
-        need -= seeds
-        if need:
-            if len(need) > 10_000:
-                # big skip lists: broadcast semi-join beats a giant IN ()
-                ndf = self.spark.createDataFrame(
-                    [(int(s),) for s in sorted(need)], "shard long")
-                main_seg = seg.join(F.broadcast(ndf), "shard", "left_semi")
-            else:
-                main_seg = seg.filter(F.col("shard").isin(sorted(need)))
-            qspec = [(q, ts, k, theta.get(q)) for q, ts, k in live]
-            main_rows = self._scan(main_seg, qspec, idf, mask_df,
-                                   pred_mode).collect()
-        else:
-            main_rows = []
+        # ---- θ: ONLY the k-th seed score per query crosses to the
+        # driver (Q floats) — it parameterizes the scorer closure.
+        kdf = self.spark.createDataFrame([(q, k) for q, _, k in live],
+                                         "query_id int, k int")
+        wk = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                    F.asc("doc_id"))
+        th_rows = (seed_res.join(F.broadcast(kdf), "query_id")
+                   .withColumn("_rn", F.row_number().over(wk))
+                   .filter(F.col("_rn") == F.col("k"))
+                   .select("query_id", "score").collect())
+        theta = {int(r["query_id"]): float(r["score"]) for r in th_rows}
+        theta_df = self.spark.createDataFrame(
+            [(int(q), float(t)) for q, t in theta.items()],
+            "query_id int, theta double")
+
+        # ---- main scan over (query, shard) pairs that can still beat θ
+        main_asg = (ub_df.join(F.broadcast(theta_df), "query_id", "left")
+                    .filter(F.col("theta").isNull()
+                            | (F.col("ub") >= F.col("theta")
+                               - F.lit(_THETA_GUARD) * F.abs(F.col("theta"))))
+                    .join(seed_asg, ["query_id", "shard"], "left_anti")
+                    .select("query_id", "shard"))
+        main_seg = seg.join(F.broadcast(main_asg.select("shard").distinct()),
+                            "shard", "left_semi")
+        qspec1 = [(q, ts, k, theta.get(q)) for q, ts, k in live]
+        main_res = self._scan(main_seg, qspec1, idf, mask_df, pred_mode,
+                              asg_df=main_asg)
+
+        # ---- global merge, executor-side; driver sees Σk rows only
+        out = self._materialize(
+            self._global_topk(seed_res.unionByName(main_res), live))
         seg.unpersist()
-
-        allr = ([(r["query_id"], r["doc_id"], r["score"]) for r in seed_local]
-                + [(r["query_id"], r["doc_id"], r["score"]) for r in main_rows])
-        out: list = []
-        by_q2: dict[int, list] = {}
-        for q, d, sc in allr:
-            by_q2.setdefault(q, []).append((d, sc))
-        for q, rows in by_q2.items():
-            rows.sort(key=lambda x: (-x[1], x[0]))
-            out.extend((q, d, sc) for d, sc in rows[:kmap[q]])
-        return self.spark.createDataFrame(out or [], schemas.RESULTS)
-
-    def _plan(self, live, idf, all_terms, cap):
-        """Collect (term, shard, max_tf, min_dl) directory rows for the
-        query terms and compute per-(query, shard) upper bounds in numpy.
-        Returns None when the directory slice exceeds `cap` rows (fall
-        back to Spark-side exhaustive scan rather than a driver OOM)."""
-        import numpy as np
-        rows = (self.directory().filter(F.col("term").isin(all_terms))
-                .select("term", "shard", "max_tf", "min_dl")
-                .limit(cap + 1).collect())
-        if len(rows) > cap:
-            return None
-        if not rows:
-            return {"shards": np.array([], dtype=np.int64), "ub": {}}
-        from pdx_spark.functions.bm25 import tfnorm_np
-        shards = np.array(sorted({r["shard"] for r in rows}), dtype=np.int64)
-        pos = {int(s): i for i, s in enumerate(shards)}
-        by_term: dict[str, list] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r)
-        term_ub = {}
-        for t, rs in by_term.items():
-            v = np.zeros(len(shards))
-            g = tfnorm_np(np.array([r["max_tf"] for r in rs]),
-                          np.array([r["min_dl"] for r in rs]),
-                          self.avgdl, self.params)
-            for r, gi in zip(rs, g):
-                v[pos[int(r["shard"])]] = idf[t] * gi
-            term_ub[t] = v
-        ub = {}
-        for q, ts, _ in live:
-            acc = np.zeros(len(shards))
-            for t in ts:
-                if t in term_ub:
-                    acc += term_ub[t]
-            ub[q] = acc
-        return {"shards": shards, "ub": ub}
+        ub_df.unpersist()
+        seed_res.unpersist()
+        return out
 
     def _materialize(self, df: DataFrame) -> DataFrame:
         rows = [(r["query_id"], r["doc_id"], r["score"]) for r in df.collect()]
         return self.spark.createDataFrame(rows or [], schemas.RESULTS)
 
     # -- internals -----------------------------------------------------------
+    def _filter_mode(self, predicate: str) -> str:
+        """allow/deny from a CACHED docs sample — never a per-batch
+        full-table count (the scale-killer flagged in round 1). The mode
+        only affects which side of the predicate ships to the scorer;
+        results are identical either way, so sampling error is benign."""
+        from pdx_spark.plans.planner import SELECTIVITY_THRESHOLD
+        if self._sel_sample is None:
+            frac = min(1.0, 200_000.0 / max(self.n_docs, 1))
+            s = self.docs() if frac >= 1.0 else self.docs().sample(
+                fraction=frac, seed=SEED)
+            s = s.persist()
+            self._sel_sample = (s, s.count())
+        sample, n = self._sel_sample
+        n_pass = sample.filter(F.expr(predicate)).count()
+        return "deny" if n_pass >= SELECTIVITY_THRESHOLD * max(n, 1) else "allow"
+
     def _mask_df(self, predicate: str | None):
-        """-> ((shard, doc_id, p) rows | None, predicate_mode).
+        """-> (aux-format (shard, kind=0, id, p) rows | None, mode).
         p=1 predicate-pass (allow mode), p=0 predicate-fail (deny mode)
         or tombstoned. Deny mode ships the complement when the predicate
         passes most docs — the selectivity-adaptive F3 analog (reference
         searcher.hpp:57, threshold 0.80)."""
-        from pdx_spark.plans.planner import choose_filter_mode
         parts, mode = [], None
         if predicate is not None:
-            mode, _ = choose_filter_mode(self.docs(), predicate, self.n_docs)
+            mode = self._filter_mode(predicate)
             if mode == "allow":
                 parts.append(self.docs().filter(F.expr(predicate))
                              .select("doc_id").withColumn("p", F.lit(1)))
@@ -412,22 +432,49 @@ class Searcher:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df.withColumn(
-            "shard", (F.col("doc_id") / self.cfg.docs_per_shard).cast("long")), mode
+        return df.select(
+            (F.col("doc_id") / self.cfg.docs_per_shard).cast("long").alias("shard"),
+            F.lit(_KIND_MASK).alias("kind"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("p").cast("int").alias("p")), mode
+
+    def _aux(self, mask_df: DataFrame | None,
+             asg_df: DataFrame | None) -> DataFrame | None:
+        """Union mask rows + query-routing rows into the one cogroup-side
+        frame (applyInPandas cogroups exactly two frames)."""
+        parts = []
+        if mask_df is not None:
+            parts.append(mask_df)
+        if asg_df is not None:
+            parts.append(asg_df.select(
+                F.col("shard").cast("long").alias("shard"),
+                F.lit(_KIND_QUERY).alias("kind"),
+                F.col("query_id").cast("long").alias("id"),
+                F.lit(0).alias("p")))
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],
-              mask_df: DataFrame | None, predicate_mode: str | None) -> DataFrame:
+              mask_df: DataFrame | None, predicate_mode: str | None,
+              asg_df: DataFrame | None = None) -> DataFrame:
         payload = {"queries": qspec, "idf": idf,
                    "avgdl": self.avgdl, "k1": self.params.k1,
                    "b": self.params.b,
                    "docs_per_shard": self.cfg.docs_per_shard,
-                   "predicate_mode": predicate_mode}
-        if mask_df is not None:
-            fn = _shard_scorer(payload, has_mask=True)
+                   "predicate_mode": predicate_mode,
+                   "assigned": asg_df is not None,
+                   "has_mask": mask_df is not None}
+        aux = self._aux(mask_df, asg_df)
+        if aux is not None:
+            fn = _shard_scorer(payload, has_aux=True)
             return (seg.groupBy("shard")
-                    .cogroup(mask_df.groupBy("shard"))
+                    .cogroup(aux.groupBy("shard"))
                     .applyInPandas(fn, schema=schemas.RESULTS))
-        fn = _shard_scorer(payload, has_mask=False)
+        fn = _shard_scorer(payload, has_aux=False)
         return seg.groupBy("shard").applyInPandas(fn, schema=schemas.RESULTS)
 
     def _global_topk(self, res: DataFrame, live) -> DataFrame:
