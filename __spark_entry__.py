@@ -91,18 +91,21 @@ def _events(spark, sf_dir):
 
 def _dup_corpus(spark, sf_dir):
     """documents plus a shifted copy of every 10th doc — guarantees known
-    duplicate pairs for the dedup oracles (fixtures have no natural dups)."""
+    duplicate pairs for the dedup oracles (fixtures have no natural dups).
+    The shift is max(doc_id)+1, NOT a constant, so copies can never
+    collide with real ids at any fixture scale."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    n = 1_000_000
+    off = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
     copy = (d.filter(F.col("doc_id") % 10 == 0)
-            .select((F.col("doc_id") + n).alias("doc_id"), "text"))
+            .select((F.col("doc_id") + off).alias("doc_id"), "text"))
     return d.unionByName(copy)
 
 
 # SQL twin of _dup_corpus (DuckDB; `documents` is a pre-registered view).
+# The scalar subquery computes the same collision-proof offset.
 _DUP_SQL = ("(SELECT doc_id, text FROM documents "
-            "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
-            "FROM documents WHERE doc_id % 10 = 0)")
+            "UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)"
+            " AS doc_id, text FROM documents WHERE doc_id % 10 = 0)")
 
 # Tokenizer twins.
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -281,14 +284,42 @@ def q_dedup_simhash_pairs(spark, sf_dir):
                     F.col("hamming").cast("bigint").alias("hamming")))
 
 
-def q_dedup_embedding(spark, sf_dir):
-    from pdx_spark.operators.dedup import embedding_cosine_pairs
+def _dup_embeddings(spark, sf_dir):
+    """embeddings plus a shifted copy of every 25th vector (offset =
+    max(vec_id)+1 — collision-proof at any scale)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    n = 1_000_000
+    off = int(e.agg(F.max("vec_id")).collect()[0][0]) + 1
     dup = e.filter(F.col("vec_id") % 25 == 0) \
-           .select((F.col("vec_id") + n).alias("vec_id"), "embedding")
-    both = e.unionByName(dup)
+           .select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+    return e.unionByName(dup)
+
+
+_DUP_EMB_SQL = ("(SELECT vec_id, embedding FROM embeddings "
+                "UNION ALL SELECT vec_id + (SELECT max(vec_id) + 1 "
+                "FROM embeddings) AS vec_id, embedding "
+                "FROM embeddings WHERE vec_id % 25 = 0)")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Exact all-pairs verification yardstick (small-partition use only;
+    the scale path is q_dedup_embedding_lsh)."""
+    from pdx_spark.operators.dedup import embedding_cosine_pairs
+    both = _dup_embeddings(spark, sf_dir)
     return (embedding_cosine_pairs(both, threshold=0.999)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"), "cosine"))
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scalable embedding near-dup: banded hyperplane-LSH candidates +
+    exact cosine verify (no crossJoin anywhere in the plan). Oracle is
+    the exact all-pairs SQL: identical vectors share every LSH bucket, so
+    at threshold 0.999 (exact-copy territory on these fixtures) the
+    candidate set has full recall and the verified pairs match exactly."""
+    from pdx_spark.operators.similarity import lsh_cosine_pairs
+    both = _dup_embeddings(spark, sf_dir)
+    return (lsh_cosine_pairs(both, threshold=0.999, n_planes=6, bands=4,
+                             id_col="vec_id", vec_col="embedding")
             .select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"), "cosine"))
 
@@ -303,15 +334,46 @@ def q_ann_bruteforce(spark, sf_dir):
                       F.round("score", 6).alias("cosine"))
 
 
+_ANN_IDX_CACHE: dict = {}
+
+
+def _ann_index(spark, sf_dir):
+    """Build-once (per sf_dir) persisted ANN index — the save/load path is
+    part of what the ann_lsh entries exercise."""
+    import tempfile
+
+    from pdx_spark.operators.similarity import AnnIndex
+    if sf_dir not in _ANN_IDX_CACHE:
+        path = os.path.join(tempfile.gettempdir(),
+                            "pdx_ann_" + sf_dir.strip("/").replace("/", "_"))
+        AnnIndex.build(_emb(spark, sf_dir), path, n_planes=6)
+        _ANN_IDX_CACHE[sf_dir] = path
+    return AnnIndex.load(spark, _ANN_IDX_CACHE[sf_dir])
+
+
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-10 (rows-only check; recall vs
-    brute force is pytest-gated in tests/test_similarity.py)."""
-    from pdx_spark.operators.similarity import lsh_assign, lsh_topk
-    e = _emb(spark, sf_dir)
-    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
-    bucketed = lsh_assign(e, dim=len(qvec), n_planes=6)
-    res = lsh_topk(bucketed, qvec, k=10, n_planes=6, nprobe=8)
+    """Persisted LSH index, FULL probe (nprobe=2^n_planes scans every
+    bucket) — provably identical to brute force, so the exact-cosine SQL
+    is a true oracle for the whole bucket/probe/save-load machinery.
+    Partial-probe recall is pytest-gated (tests/test_similarity.py)."""
+    idx = _ann_index(spark, sf_dir)
+    qvec = list(idx.vectors().filter(F.col("vec_id") == 0)
+                .select("embedding").collect()[0][0])
+    res = idx.topk(qvec, k=10, nprobe=64)
     return res.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round("score", 6).alias("cosine"))
+
+
+def q_ann_lsh_batch(spark, sf_dir):
+    """Batched LSH top-k (one Spark job for the whole query batch) at full
+    probe — oracle is per-query exact top-10 UNION ALL."""
+    idx = _ann_index(spark, sf_dir)
+    qrows = (idx.vectors().filter(F.col("vec_id").isin([0, 1, 2]))
+             .select("vec_id", "embedding").collect())
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    res = idx.topk_batch(queries, k=10, nprobe=64)
+    return res.select(F.col("query_id").cast("int").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.round("score", 6).alias("cosine"))
 
 
@@ -497,8 +559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_batch": q_ann_lsh_batch,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -557,7 +621,11 @@ def _minhash_sig_sql(src: str, num_hashes: int = 16) -> str:
         f"list_aggregate(list_transform(sh, h -> ({2*i+3} * (h % 1000000007) "
         f"+ {7*i+1}) % 1000000007), 'min') AS m{i}"
         for i in range(num_hashes))
-    return f"WITH shing AS ({_shingles_sql(src)}) SELECT doc_id, {mods} FROM shing"
+    # WHERE len(sh) > 0 matches the Spark domain: minhash_signatures emits
+    # no row for zero-shingle (empty/whitespace-only) docs, while an
+    # unfiltered SQL twin would emit NULL mins for them — row-count skew
+    return (f"WITH shing AS ({_shingles_sql(src)}) "
+            f"SELECT doc_id, {mods} FROM shing WHERE len(sh) > 0")
 
 
 def _simhash_sql(src: str) -> str:
@@ -625,6 +693,25 @@ top AS (
 SELECT t.conv_id, t.turn_idx, top.score
 FROM top JOIN trans t USING (doc_id)
 """
+
+
+_EMB_PAIRS_SQL = f"""
+    WITH uni AS (SELECT * FROM {_DUP_EMB_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM uni a, uni b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.999"""
+
+_ANN_TOPK_SQL = """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {qid})
+    SELECT {extra} e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -705,21 +792,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sim a, sim b
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
-        "dedup_embedding": """
-            WITH uni AS (
-              SELECT vec_id, embedding FROM embeddings
-              UNION ALL
-              SELECT vec_id + 1000000 AS vec_id, embedding
-              FROM embeddings WHERE vec_id % 25 = 0)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6)
-                     AS cosine
-            FROM uni a, uni b
-            WHERE a.vec_id < b.vec_id
-              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 6)
-                  >= 0.999""",
+        "dedup_embedding": _EMB_PAIRS_SQL,
+        # same exact-all-pairs oracle: the LSH candidate set has full
+        # recall at this threshold (exact copies share every bucket), and
+        # the Spark side verifies candidates with the same exact cosine
+        "dedup_embedding_lsh": _EMB_PAIRS_SQL,
         "dedup_minhash_pairs": f"""
             WITH sig AS ({_minhash_sig_sql(_DUP_SQL)}),
             buckets AS (
@@ -759,14 +836,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes za ON za.doc_id = doc_a
             JOIN sizes zb ON zb.doc_id = doc_b
             WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.5""",
-        "ann_bruteforce": """
-            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-            SELECT e.vec_id,
-                   round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                q.embedding::DOUBLE[]), 6)
-                     AS cosine
-            FROM embeddings e CROSS JOIN q
-            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""",
+        "ann_bruteforce": _ANN_TOPK_SQL.format(qid=0, extra=""),
+        # full probe (nprobe = 2^n_planes) scans every bucket => provably
+        # equal to exact top-k; the SQL is a true oracle for the LSH path
+        "ann_lsh": _ANN_TOPK_SQL.format(qid=0, extra=""),
+        "ann_lsh_batch": " UNION ALL ".join(
+            "SELECT * FROM (" + _ANN_TOPK_SQL.format(
+                qid=q, extra=f"{q} AS query_id,") + ")"
+            for q in (0, 1, 2)),
+        "media_features": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS kind,
+                     least(16 * (8 + i % 5), 64 + (i * 7) % 256) AS n_bytes,
+                     substr(repeat(md5('42:' || i), 8 + i % 5), 1,
+                            2 * least(16 * (8 + i % 5),
+                                      64 + (i * 7) % 256)) AS ph
+              FROM range(128) t(i)),
+            h AS (SELECT media_id, kind, n_bytes, md5(ph) AS hh FROM m)
+            SELECT media_id, kind, n_bytes,
+                   round((('0x' || substr(hh, 3, 2) || substr(hh, 1, 2))
+                          ::BIGINT) / 65536.0, 6) AS f0
+            FROM h""",
         "text_stats": f"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(trim(coalesce(text, '')),

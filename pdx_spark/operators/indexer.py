@@ -146,7 +146,9 @@ class Indexer:
                 "params": manifest_params(self.params, self.cfg),
                 "stage": "init", "chunks": {}, "n_chunks": n_chunks,
                 "segment_dirs": [], "deltas": [], "tombstones": 0,
-                "lineage": [],
+                "docs_dirs": ["docs"], "ts_deltas": [], "dir_deltas": [],
+                "seg_excludes": {}, "dead_docs": 0, "last_batch_id": -1,
+                "gen": 0, "lineage": [],
             }
             _write_manifest(path, manifest)
 
@@ -179,7 +181,13 @@ class Indexer:
 
             tt = time.time()
             docs = self.spark.read.schema(schemas.DOCS).parquet(docs_path)
-            n_docs, avgdl = C.corpus_stats(docs)
+            srow = docs.agg(F.count("*").alias("n"),
+                            F.sum("dl").alias("s")).collect()[0]
+            n_docs, sum_dl = int(srow["n"]), int(srow["s"] or 0)
+            # avgdl = exact-int sum / count: bit-identical to the
+            # incremental update Maintainer.append performs (sum_dl is the
+            # exactness carrier across appends/deletes)
+            avgdl = sum_dl / n_docs if n_docs else 0.0
             timings["corpus_stats"] = round(time.time() - tt, 2)
 
             tt = time.time()
@@ -188,7 +196,8 @@ class Indexer:
             timings["term_stats"] = round(time.time() - tt, 2)
             self._posts_cache = dp
 
-            manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl)
+            manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl,
+                            sum_dl=sum_dl)
             manifest["lineage"].append(
                 {"stage": "docs+stats", "rows": n_docs,
                  "sec": round(time.time() - t0, 2), "timings": timings})

@@ -58,10 +58,17 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
 
 def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
     """STUB: real image decode requires Pillow (not in this container).
-    Deterministic fake: md5-chained bytes -> FEATURE_DIM floats in [0,1)."""
+    Deterministic fake: md5-chained over the LOWERCASE-HEX encoding of the
+    payload -> FEATURE_DIM floats in [0,1). Hashing the hex string (not
+    the raw bytes) keeps the stub reproducible in ANSI SQL, so the
+    media_features entry gets a real DuckDB oracle (DuckDB md5 only
+    accepts VARCHAR). Each little-endian uint16 / 2^16 is exact in
+    float32, so Spark and SQL produce bit-equal doubles."""
     if real:
         raise NotImplementedError("image decode requires Pillow; stubbed here")
-    h = hashlib.md5(payload).digest() + hashlib.md5(payload[::-1]).digest()
+    hx = payload.hex()
+    h = (hashlib.md5(hx.encode()).digest()
+         + hashlib.md5((hx + ":2").encode()).digest())
     return np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65536.0
 
 

@@ -233,28 +233,62 @@ class Searcher:
     def load(cls, spark, path: str) -> "Searcher":
         return cls(spark, path)
 
-    # -- lazy frames --------------------------------------------------------
+    # -- lazy frames (merged views over base + maintenance deltas) ----------
     def segments(self) -> DataFrame:
-        dirs = [os.path.join(self.path, d) for d in
-                self.manifest["segment_dirs"] + self.manifest.get("deltas", [])]
+        excl = self.manifest.get("seg_excludes", {})
         df = None
-        for d in dirs:
+        for d in self.manifest["segment_dirs"] + self.manifest.get("deltas", []):
             part = (self.spark.read.schema(schemas.SEGMENTS)
-                    .option("recursiveFileLookup", "true").parquet(d))
+                    .option("recursiveFileLookup", "true")
+                    .parquet(os.path.join(self.path, d)))
+            ex = excl.get(d)
+            if ex:  # shards superseded by a targeted-compaction patch
+                part = part.filter(~F.col("shard").isin([int(s) for s in ex]))
             df = part if df is None else df.unionByName(part)
         return df
 
     def docs(self) -> DataFrame:
-        return self.spark.read.schema(schemas.DOCS).parquet(
-            os.path.join(self.path, "docs"))
+        df = None
+        for d in self.manifest.get("docs_dirs", ["docs"]):
+            part = self.spark.read.schema(schemas.DOCS).parquet(
+                os.path.join(self.path, d))
+            df = part if df is None else df.unionByName(part)
+        if self.manifest.get("dead_docs", 0) > 0:
+            dead = self.spark.read.parquet(
+                os.path.join(self.path, "dead_docs")).select("doc_id")
+            df = df.join(dead, "doc_id", "left_anti")
+        return df
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.schema(schemas.TERM_STATS).parquet(
+        """Base ∪ append/delete deltas, merged at read: df sums (delete
+        deltas are negative), bounds take max (stale-high = admissible).
+        The per-query idf lookup filters on `term` FIRST, so parquet
+        row-group pruning applies to every delta file before the merge
+        agg touches anything."""
+        base = self.spark.read.schema(schemas.TERM_STATS).parquet(
             os.path.join(self.path, "term_stats"))
+        deltas = self.manifest.get("ts_deltas", [])
+        if not deltas:
+            return base
+        df = base
+        for d in deltas:
+            part = self.spark.read.schema(schemas.TERM_STATS).parquet(
+                os.path.join(self.path, d))
+            df = df.unionByName(part)
+        return (df.groupBy("term")
+                .agg(F.sum("df").alias("df"),
+                     F.max("max_tf").alias("max_tf"),
+                     F.max("gmax").alias("gmax"))
+                .filter(F.col("df") > 0))
 
     def directory(self) -> DataFrame:
-        return self.spark.read.schema(schemas.DIRECTORY).parquet(
+        df = self.spark.read.schema(schemas.DIRECTORY).parquet(
             os.path.join(self.path, "directory"))
+        for d in self.manifest.get("dir_deltas", []):
+            part = self.spark.read.schema(schemas.DIRECTORY).parquet(
+                os.path.join(self.path, d))
+            df = df.unionByName(part)
+        return df
 
     def tombstones(self) -> DataFrame | None:
         p = os.path.join(self.path, "tombstones")
@@ -325,6 +359,11 @@ class Searcher:
         ub_df = (self.directory()
                  .filter(F.col("term").isin(all_terms))
                  .select("term", "shard", "max_tf", "min_dl")
+                 # base + append-delta rows can repeat a (term, shard) key;
+                 # collapse to one admissible bound so ub isn't inflated
+                 .groupBy("term", "shard")
+                 .agg(F.max("max_tf").alias("max_tf"),
+                      F.min("min_dl").alias("min_dl"))
                  .join(F.broadcast(qterms), "term")
                  .withColumn("contrib", F.col("idf") * tfnorm_col(
                      F.col("max_tf"), F.col("min_dl"),

@@ -107,3 +107,159 @@ def lsh_topk(bucketed: DataFrame, query_vec: list[float], k: int = 10,
                      key=lambda b: (bin(b ^ qbits).count("1"), b))[:nprobe]
     probed = bucketed.filter(F.col("bucket").isin(buckets))
     return brute_force_topk(probed, query_vec, k, "cosine", id_col, vec_col)
+
+
+def lsh_topk_batch(bucketed: DataFrame, queries: list[tuple[int, list[float]]],
+                   k: int = 10, n_planes: int = 6,
+                   nprobe: int = DEFAULT_NPROBE, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = SEED) -> DataFrame:
+    """Batched LSH cosine top-k: ONE Spark job scores every query of the
+    batch — same amortization rationale as BM25 search_batch (reference
+    batches its query loop too, pdx_end_to_end.cpp:100-108).
+
+    Probe routing (query -> nprobe hamming-nearest buckets) is computed
+    driver-side in numpy (Q x 2^n_planes ints — trivially cheap) and
+    shipped as a broadcast (query_id, bucket) frame; the bucket equi-join
+    co-locates each query with only its probed buckets' vectors, then a
+    window top-k per query. -> (query_id, vec_id, score), identical rows
+    to per-query lsh_topk."""
+    spark = bucketed.sparkSession
+    dim = len(queries[0][1])
+    planes = _planes(dim, n_planes, seed)
+    probe_rows, qvec_rows = [], []
+    for qid, qv in queries:
+        qv = [float(x) for x in qv]
+        qbits = int(sum((1 << i) for i, p in enumerate(planes)
+                        if float(np.dot(p, qv)) >= 0))
+        for b in sorted(range(1 << n_planes),
+                        key=lambda b: (bin(b ^ qbits).count("1"), b))[:nprobe]:
+            probe_rows.append((int(qid), int(b)))
+        qvec_rows.append((int(qid), qv, float(np.linalg.norm(qv))))
+    probes = spark.createDataFrame(probe_rows, "query_id int, bucket int")
+    qvecs = spark.createDataFrame(qvec_rows,
+                                  "query_id int, qv array<double>, qn double")
+    joined = (bucketed.join(F.broadcast(probes), "bucket")
+              .join(F.broadcast(qvecs), "query_id"))
+    score = _dot(F.col(vec_col), F.col("qv")) / (_norm(F.col(vec_col))
+                                                 * F.col("qn"))
+    scored = joined.select("query_id", F.col(id_col).alias("vec_id"),
+                           score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
+                     n_planes: int = 6, bands: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = SEED) -> DataFrame:
+    """Scalable embedding near-dup pairs: `bands` independent hyperplane
+    bucketings generate candidates (vectors sharing any band's bucket),
+    exact cosine verifies — the embedding analog of minhash_lsh_pairs
+    (dedup.py), replacing the O(n^2) crossJoin with shuffles keyed on
+    bounded bucket ids. Reference analog: IVF bucket assignment
+    (ivf_wrapper.hpp:15-38) + exact re-rank.
+
+    Recall: identical vectors always share every bucket (equal signs), so
+    exact-duplicate recall is 1.0; near-dup recall grows with `bands` and
+    falls with `n_planes` (standard banded-LSH tradeoff).
+    -> (id_a, id_b, cosine), id_a < id_b, cosine rounded to 6 dp."""
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = _dim_of(emb, vec_col)
+    band_cols = []
+    for bi in range(bands):
+        planes = _planes(dim, n_planes, seed + 101 * bi)
+        band_cols.append(F.struct(
+            F.lit(bi).alias("band"),
+            lsh_bucket_col(F.col("v"), planes).alias("bucket")))
+    buckets = (v.select("id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("id", "bb.band", "bb.bucket"))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    av = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    bv = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = _dot(F.col("va"), F.col("vb"))
+    return (cand.join(av, "id_a").join(bv, "id_b")
+            .withColumn("cosine", F.round(
+                dot / (_norm(F.col("va")) * _norm(F.col("vb"))), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the schema when declared, else from one
+    row (a LIMIT-1 job, not a scan)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
+# ---- persisted ANN index (save/load parity with the reference's
+# index_factory.save/load, python/pdxearch/index_factory.py:47-66) ----
+
+class AnnIndex:
+    """LSH-bucketed ANN index persisted as an artifact: bucketed vectors
+    (parquet, sorted by bucket for row-group pruning on probe filters) +
+    a JSON manifest carrying (dim, n_planes, seed, n_vectors,
+    format_version). load() -> same top-k as the pre-save handle."""
+
+    MANIFEST = "ann_manifest.json"
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def build(cls, emb: DataFrame, path: str, n_planes: int = 6,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = SEED) -> "AnnIndex":
+        import json
+        import os
+        spark = emb.sparkSession
+        dim = _dim_of(emb, vec_col)
+        bucketed = lsh_assign(emb, dim, n_planes, vec_col, seed) \
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"), "bucket")
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "vectors.tmp")
+        bucketed.sortWithinPartitions("bucket") \
+                .write.mode("overwrite").parquet(tmp)
+        final = os.path.join(path, "vectors")
+        if os.path.exists(final):
+            import shutil
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        n = spark.read.parquet(final).count()
+        meta = {"dim": dim, "n_planes": n_planes, "seed": seed,
+                "n_vectors": int(n), "metric": "cosine",
+                "format_version": 1}
+        mtmp = os.path.join(path, cls.MANIFEST + ".tmp")
+        with open(mtmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(mtmp, os.path.join(path, cls.MANIFEST))
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "AnnIndex":
+        import json
+        import os
+        with open(os.path.join(path, cls.MANIFEST)) as f:
+            return cls(spark, path, json.load(f))
+
+    def vectors(self) -> DataFrame:
+        import os
+        return self.spark.read.parquet(os.path.join(self.path, "vectors"))
+
+    def topk(self, query_vec: list[float], k: int = 10,
+             nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+        return lsh_topk(self.vectors(), query_vec, k,
+                        self.meta["n_planes"], nprobe, seed=self.meta["seed"])
+
+    def topk_batch(self, queries: list[tuple[int, list[float]]], k: int = 10,
+                   nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+        return lsh_topk_batch(self.vectors(), queries, k,
+                              self.meta["n_planes"], nprobe,
+                              seed=self.meta["seed"])

@@ -31,7 +31,10 @@ def stream_transcripts(spark, input_dir: str, index_path: str,
     def on_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        Maintainer(spark, index_path).append(batch_df)
+        # batch_id makes the append idempotent: Structured Streaming
+        # replays the last uncommitted micro-batch on restart, and
+        # append() no-ops when batch_id <= manifest.last_batch_id
+        Maintainer(spark, index_path).append(batch_df, batch_id=batch_id)
 
     writer = (src.writeStream.foreachBatch(on_batch)
               .option("checkpointLocation", checkpoint_dir))

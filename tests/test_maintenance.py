@@ -85,8 +85,12 @@ def test_delete_then_absent_and_compact(spark, tmp_path, corpus_pdfs):
     for qid, qtext, k in QUERIES:
         got = collect_topk(res, qid)
         assert not set(dead_ids) & {d for d, _ in got}
-        # note: idf uses pre-delete df until compaction (documented);
-        # so only check absence here, exactness after compact below
+        # delete-time df decrement (negative term_stats delta) makes
+        # post-delete scores rank-identical to a fresh build over the
+        # live corpus IMMEDIATELY — no compact needed
+        # (reference analog tests/test_maintenance.cpp:33-136)
+        want = oracle.topk(qtext, k)
+        assert_rank_identical(got, want, f"post-delete q{qid}")
     res.unpersist()
 
     Maintainer(spark, path).compact()
@@ -136,3 +140,114 @@ def test_resume_equals_fresh(spark, tmp_path, corpus_pdfs):
     ra = sa.search("w0001 w0002", k=10)
     rb = sb.search("w0001 w0002", k=10)
     assert ra == rb
+
+
+def _file_state(root):
+    import os
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_append_is_incremental_and_idempotent(spark, tmp_path, corpus_pdfs):
+    """Append must be O(delta): the base term_stats/directory/segments
+    files are never rewritten (byte/mtime-identical across >=2 appends,
+    the round-1 scale-killer), and a replayed batch_id is a no-op."""
+    import os
+    full, head, tail = corpus_pdfs
+    t = tail.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    half = len(t) // 2
+    path = str(tmp_path / "idx_incr")
+    Indexer(spark, cfg=CFG).build(
+        spark.createDataFrame(head, schema=TRANSCRIPTS), path)
+    base_state = {
+        d: _file_state(os.path.join(path, d))
+        for d in ("term_stats", "directory", "segments/base", "docs")}
+
+    m1 = Maintainer(spark, path).append(
+        spark.createDataFrame(t.iloc[:half], schema=TRANSCRIPTS), batch_id=0)
+    m2 = Maintainer(spark, path).append(
+        spark.createDataFrame(t.iloc[half:], schema=TRANSCRIPTS), batch_id=1)
+    for d, before in base_state.items():
+        assert _file_state(os.path.join(path, d)) == before, \
+            f"append rewrote base artifact {d}"
+    assert len(m2["deltas"]) == 2 and len(m2["ts_deltas"]) == 2
+    assert len(m2["dir_deltas"]) == 2 and len(m2["docs_dirs"]) == 3
+
+    # replayed micro-batch (same batch_id) must be a no-op
+    n_before = read_manifest(path)["n_docs"]
+    m3 = Maintainer(spark, path).append(
+        spark.createDataFrame(t.iloc[half:], schema=TRANSCRIPTS), batch_id=1)
+    assert m3["n_docs"] == n_before
+    assert len(read_manifest(path)["deltas"]) == 2
+
+    # merged-at-read correctness: results equal the full-corpus oracle
+    h = head.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    texts = list(h["text"]) + list(t["text"])
+    oracle = BM25Oracle(dict(enumerate(texts)))
+    searcher = Searcher.load(spark, path)
+    assert searcher.n_docs == oracle.n_docs
+    assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    for qid, qtext, k in QUERIES:
+        assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
+                              f"incr q{qid}")
+    res.unpersist()
+
+
+def test_targeted_compact(spark, tmp_path, corpus_pdfs):
+    """compact_targeted rewrites ONLY shards holding delta blocks or
+    tombstoned postings; untouched base files stay byte-identical and
+    results stay rank-identical to the live-corpus oracle (the
+    CompactCluster/SplitCluster analog, index.hpp:1314-1611)."""
+    import os
+    full, head, tail = corpus_pdfs
+    path = str(tmp_path / "idx_tc")
+    Indexer(spark, cfg=CFG).build(
+        spark.createDataFrame(head, schema=TRANSCRIPTS), path)
+    Maintainer(spark, path).append(
+        spark.createDataFrame(tail, schema=TRANSCRIPTS))
+    s0 = Searcher.load(spark, path)
+    dead_ids = [d for d, _ in s0.search("w0000", k=4)[:2]]
+    Maintainer(spark, path).delete(spark.createDataFrame(
+        [(int(d),) for d in dead_ids], "doc_id long"))
+
+    base_before = _file_state(os.path.join(path, "segments", "base"))
+    m = Maintainer(spark, path).compact_targeted()
+    assert _file_state(os.path.join(path, "segments", "base")) == base_before
+    assert m["deltas"] == [] and m["tombstones"] == 0
+    assert m["dead_docs"] == len(dead_ids)
+    assert any("patch" in d for d in m["segment_dirs"])
+    assert m["seg_excludes"].get("segments/base")
+
+    # oracle over the live merged corpus (original doc_id order preserved)
+    h = head.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    t = tail.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    texts = dict(enumerate(list(h["text"]) + list(t["text"])))
+    for d in dead_ids:
+        texts.pop(d)
+    oracle = BM25Oracle(texts)
+    searcher = Searcher.load(spark, path)
+    assert searcher.n_docs == oracle.n_docs
+    assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    for qid, qtext, k in QUERIES:
+        got = collect_topk(res, qid)
+        assert not set(dead_ids) & {d for d, _ in got}
+        assert_rank_identical(got, oracle.topk(qtext, k), f"tc q{qid}")
+    res.unpersist()
+
+    # a full compact afterwards folds everything back to a clean base
+    m = Maintainer(spark, path).compact()
+    assert m["segment_dirs"] == ["segments/base"] and m["seg_excludes"] == {}
+    assert m["dead_docs"] == 0 and m["docs_dirs"] == ["docs"]
+    searcher = Searcher.load(spark, path)
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    for qid, qtext, k in QUERIES:
+        assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
+                              f"full-compact q{qid}")
+    res.unpersist()

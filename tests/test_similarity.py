@@ -85,3 +85,60 @@ def test_lsh_recall_reasonable_and_monotone(emb_df, emb_np):
         last = recall
     assert last == 1.0  # full probe
     bucketed.unpersist()
+
+
+def test_lsh_cosine_pairs_matches_allpairs(spark, emb_df, emb_np):
+    """Scalable banded-LSH near-dup path == exact all-pairs on a corpus
+    with planted exact duplicates (identical vectors share every bucket,
+    so recall is 1.0 at near-duplicate thresholds)."""
+    from pdx_spark.operators.dedup import embedding_cosine_pairs
+    from pdx_spark.operators.similarity import lsh_cosine_pairs
+    dup = emb_df.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + N).alias("vec_id"), "embedding")
+    both = emb_df.unionByName(dup)
+    exact = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+             embedding_cosine_pairs(both, threshold=0.999).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+           lsh_cosine_pairs(both, threshold=0.999, n_planes=6,
+                            bands=4).collect()}
+    assert len(exact) >= N // 20  # the planted duplicates exist
+    assert lsh == exact
+
+
+def test_ann_index_save_load_roundtrip(spark, tmp_path, emb_df, emb_np):
+    """Persisted index -> load -> same top-k as pre-save (reference
+    save/load parity, python/pdxearch/index_factory.py:47-66)."""
+    from pdx_spark.operators.similarity import AnnIndex
+    path = str(tmp_path / "ann_idx")
+    built = AnnIndex.build(emb_df, path, n_planes=4)
+    q = emb_np[13].tolist()
+    pre = [(r["vec_id"], round(r["score"], 9)) for r in
+           built.topk(q, k=10, nprobe=16).collect()]
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.meta == built.meta
+    post = [(r["vec_id"], round(r["score"], 9)) for r in
+            loaded.topk(q, k=10, nprobe=16).collect()]
+    assert pre == post
+    bf = [r["vec_id"] for r in
+          brute_force_topk(emb_df, q, k=10, metric="cosine").collect()]
+    assert [v for v, _ in post] == bf  # full probe == exact
+
+
+def test_lsh_topk_batch_equals_per_query(spark, emb_df, emb_np):
+    """One-job batched LSH == per-query lsh_topk, probe-for-probe."""
+    from pdx_spark.operators.similarity import lsh_topk_batch
+    bucketed = lsh_assign(emb_df, dim=DIM, n_planes=4).persist()
+    queries = [(i, emb_np[i].tolist()) for i in (3, 9, 27)]
+    batch = lsh_topk_batch(bucketed, queries, k=10, n_planes=4, nprobe=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for qid, qv in queries:
+        solo = sorted(((r["vec_id"], round(r["score"], 9)) for r in
+                       lsh_topk(bucketed, qv, k=10, n_planes=4,
+                                nprobe=6).collect()),
+                      key=lambda t: (-t[1], t[0]))
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == solo, \
+            f"query {qid}"
+    bucketed.unpersist()
