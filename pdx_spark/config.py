@@ -54,7 +54,7 @@ class IndexConfig:
     block_size: int = 128
     docs_per_shard: int = 8192
     shards_per_task: int = 64
-    format_version: int = 1
+    format_version: int = 2  # v2: u8-quantized directory bound metadata
 
     def shard_of_expr(self):  # doc_id -> shard (Spark Column)
         from pyspark.sql import functions as F

@@ -31,6 +31,20 @@ def quantize_col(col, base: float, scale: float):
     return F.least(F.greatest(q, F.lit(0)), F.lit(255)).cast("int")
 
 
+def quantize_up_col(col, base: float, scale: float):
+    """Ceil variant for UPPER bounds (Column twin of quantize_up_np):
+    dequantize(quantize_up(x)) >= x, so a bound quantized this way stays
+    admissible — the SQ8 metadata trick (scalar.hpp:60-106)."""
+    q = F.ceil((col - F.lit(base)) * F.lit(scale))
+    return F.least(F.greatest(q, F.lit(0)), F.lit(255)).cast("int")
+
+
+def quantize_down_col(col, base: float, scale: float):
+    """Floor variant for LOWER bounds: dequantize(quantize_down(x)) <= x."""
+    q = F.floor((col - F.lit(base)) * F.lit(scale))
+    return F.least(F.greatest(q, F.lit(0)), F.lit(255)).cast("int")
+
+
 def dequantize_col(col, base: float, scale: float):
     return F.when(F.lit(scale) == 0, F.lit(base)) \
             .otherwise(col.cast("double") / F.lit(scale) + F.lit(base))

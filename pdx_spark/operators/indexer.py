@@ -44,6 +44,50 @@ from pdx_spark.operators import corpus as C
 MANIFEST = "manifest.json"
 
 
+def write_directory(seg: DataFrame, final: str) -> dict:
+    """Aggregate segment block rows to per-(term, shard) directory rows
+    with u8-quantized bound metadata (see schemas.DIRECTORY); atomic
+    tmp -> rename commit. Returns the affine quantization params to
+    record under manifest["dir_quant"][<dir>]."""
+    from pdx_spark.functions.quantize import (quantize_down_col,
+                                              quantize_up_col)
+    rows = (seg.groupBy("term", "shard")
+            .agg(F.count("*").cast("int").alias("n_blocks"),
+                 F.sum("n").cast("long").alias("n_postings"),
+                 F.max("max_tf").cast("int").alias("max_tf"),
+                 F.min("min_dl").cast("int").alias("min_dl"))
+            .persist())
+    pr = rows.agg(F.min("max_tf").alias("tf_lo"), F.max("max_tf").alias("tf_hi"),
+                  F.min("min_dl").alias("dl_lo"), F.max("min_dl").alias("dl_hi")
+                  ).collect()[0]
+    if pr["tf_hi"] is None:  # empty segment set
+        params = {"tf_base": 0.0, "tf_scale": 0.0,
+                  "dl_base": 0.0, "dl_scale": 0.0}
+    else:
+        tf_lo, tf_hi = float(pr["tf_lo"]), float(pr["tf_hi"])
+        dl_lo, dl_hi = float(pr["dl_lo"]), float(pr["dl_hi"])
+        params = {
+            "tf_base": tf_lo,
+            "tf_scale": 255.0 / (tf_hi - tf_lo) if tf_hi > tf_lo else 0.0,
+            "dl_base": dl_lo,
+            "dl_scale": 255.0 / (dl_hi - dl_lo) if dl_hi > dl_lo else 0.0,
+        }
+    q = rows.select(
+        "term", "shard", "n_blocks", "n_postings",
+        quantize_up_col(F.col("max_tf"), params["tf_base"],
+                        params["tf_scale"]).cast("short").alias("max_tf_q"),
+        quantize_down_col(F.col("min_dl"), params["dl_base"],
+                          params["dl_scale"]).cast("short").alias("min_dl_q"))
+    tmp = final + ".tmp"
+    q.sortWithinPartitions("term", "shard").write.mode("overwrite").parquet(tmp)
+    rows.unpersist()
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return params
+
+
 def _write_manifest(path: str, manifest: dict) -> None:
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
@@ -247,19 +291,14 @@ class Indexer:
             manifest["stage"] = "directory"
             _write_manifest(path, manifest)
 
-        # ---- stage C: directory (2-level routing, L0 analog) ----
+        # ---- stage C: directory (2-level routing, L0 analog; u8-
+        # quantized bound metadata — the SQ8 half, scalar.hpp:60-106) ----
         if manifest["stage"] == "directory":
             seg = (self.spark.read.schema(schemas.SEGMENTS)
                    .option("recursiveFileLookup", "true")
                    .parquet(self._p(path, "segments", "base")))
-            (seg.groupBy("term", "shard")
-                .agg(F.count("*").cast("int").alias("n_blocks"),
-                     F.sum("n").cast("long").alias("n_postings"),
-                     F.max("max_tf").cast("int").alias("max_tf"),
-                     F.min("min_dl").cast("int").alias("min_dl"),
-                     F.max("gmax").alias("gmax"))
-                .sort("term", "shard")
-                .write.mode("overwrite").parquet(self._p(path, "directory")))
+            params = write_directory(seg, self._p(path, "directory"))
+            manifest.setdefault("dir_quant", {})["directory"] = params
             shutil.rmtree(self._p(path, "postings_tmp"), ignore_errors=True)
             cached = getattr(self, "_posts_cache", None)
             if cached is not None:

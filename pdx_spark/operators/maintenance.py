@@ -48,7 +48,8 @@ from pdx_spark.config import BM25Params, IndexConfig
 from pdx_spark.operators import corpus as C
 from pdx_spark.operators.indexer import (_segment_encoder,
                                          _segment_encoder_docs,
-                                         _write_manifest, read_manifest)
+                                         _write_manifest, read_manifest,
+                                         write_directory)
 
 
 def _atomic_write(df: DataFrame, final: str, sort_cols: list[str] | None = None):
@@ -171,13 +172,13 @@ class Maintainer:
                     F.col("max_tf").cast("int").alias("max_tf"), "gmax")
         _atomic_write(delta_ts, os.path.join(self.path, ts_delta), ["term"])
 
-        # 4) directory DELTA from the new segment only
+        # 4) directory DELTA from the new segment only (u8-quantized with
+        # its OWN affine params — delta values can exceed the base range)
         dir_delta = f"directory_delta-{gen}"
         seg_read = (self.spark.read.schema(schemas.SEGMENTS)
                     .option("recursiveFileLookup", "true")
                     .parquet(os.path.join(self.path, delta_name)))
-        _atomic_write(_directory_of(seg_read),
-                      os.path.join(self.path, dir_delta), ["term", "shard"])
+        dq = write_directory(seg_read, os.path.join(self.path, dir_delta))
 
         with_ids.unpersist()
         dp.unpersist()
@@ -187,6 +188,7 @@ class Maintainer:
         m.setdefault("docs_dirs", ["docs"]).append(docs_delta)
         m.setdefault("ts_deltas", []).append(ts_delta)
         m.setdefault("dir_deltas", []).append(dir_delta)
+        m.setdefault("dir_quant", {})[dir_delta] = dq
         m["n_docs"], m["sum_dl"], m["avgdl"] = n_docs, sum_dl, avgdl
         if batch_id is not None:
             m["last_batch_id"] = int(batch_id)
@@ -392,30 +394,18 @@ class Maintainer:
                       os.path.join(self.path, "term_stats"), ["term"])
         for d in m.get("ts_deltas", []):
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        _atomic_write(_directory_of(fresh_seg),
-                      os.path.join(self.path, "directory"), ["term", "shard"])
+        dq = write_directory(fresh_seg, os.path.join(self.path, "directory"))
         for d in m.get("dir_deltas", []):
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
         m.update(segment_dirs=["segments/base"], deltas=[], ts_deltas=[],
                  dir_deltas=[], docs_dirs=["docs"], seg_excludes={},
-                 tombstones=0, dead_docs=0,
+                 tombstones=0, dead_docs=0, dir_quant={"directory": dq},
                  n_docs=n_docs, sum_dl=sum_dl, avgdl=avgdl)
         m["lineage"].append({"stage": "compact",
                              "sec": round(time.time() - t0, 2)})
         _write_manifest(self.path, m)
         return m
-
-
-def _directory_of(seg: DataFrame) -> DataFrame:
-    """Directory rows (term, shard, counts, block-max bounds) from a
-    segment frame — used for both the base build and per-delta deltas."""
-    return (seg.groupBy("term", "shard")
-            .agg(F.count("*").cast("int").alias("n_blocks"),
-                 F.sum("n").cast("long").alias("n_postings"),
-                 F.max("max_tf").cast("int").alias("max_tf"),
-                 F.min("min_dl").cast("int").alias("min_dl"),
-                 F.max("gmax").alias("gmax")))
 
 
 def _decode_segments_to_postings(seg: DataFrame) -> DataFrame:

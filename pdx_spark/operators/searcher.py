@@ -282,12 +282,29 @@ class Searcher:
                 .filter(F.col("df") > 0))
 
     def directory(self) -> DataFrame:
-        df = self.spark.read.schema(schemas.DIRECTORY).parquet(
-            os.path.join(self.path, "directory"))
-        for d in self.manifest.get("dir_deltas", []):
+        """Base ∪ append deltas, with u8 bound metadata dequantized back
+        to (max_tf, min_dl) doubles using each dir's own affine params
+        (manifest["dir_quant"]). Ceil/floor quantization makes the
+        dequantized pair stale-high/stale-low => the bound computed from
+        it is admissible (never under-estimates a true score)."""
+        from pdx_spark.functions.quantize import dequantize_col
+        dq = self.manifest.get("dir_quant", {})
+
+        def read_one(d: str) -> DataFrame:
+            p = dq.get(d, {"tf_base": 0.0, "tf_scale": 0.0,
+                           "dl_base": 0.0, "dl_scale": 0.0})
             part = self.spark.read.schema(schemas.DIRECTORY).parquet(
                 os.path.join(self.path, d))
-            df = df.unionByName(part)
+            return part.select(
+                "term", "shard", "n_blocks", "n_postings",
+                dequantize_col(F.col("max_tf_q"), p["tf_base"],
+                               p["tf_scale"]).alias("max_tf"),
+                dequantize_col(F.col("min_dl_q"), p["dl_base"],
+                               p["dl_scale"]).alias("min_dl"))
+
+        df = read_one("directory")
+        for d in self.manifest.get("dir_deltas", []):
+            df = df.unionByName(read_one(d))
         return df
 
     def tombstones(self) -> DataFrame | None:

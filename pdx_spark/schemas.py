@@ -63,18 +63,24 @@ TERM_STATS = T.StructType([
 # Per-(term,shard) directory row — 2-level routing analog of the
 # reference's meso-cluster L0 (index.hpp:714-757): lets the planner skip
 # whole shards whose summed upper bounds cannot reach the heap.
+#
+# Bound metadata is u8-quantized (the SQ8-metadata half of the reference,
+# scalar.hpp:60-106, layout.hpp:50-87): max_tf is quantized with a CEIL
+# (dequant >= true max_tf), min_dl with a FLOOR (dequant <= true min_dl).
+# tfnorm is monotone up in tf and down in dl, so the bound computed from
+# the dequantized pair can only over-estimate — pruning stays exact. The
+# pair is avgdl-drift-safe (tf/dl are avgdl-independent; the bound
+# idf * tfnorm(max_tf, min_dl, CURRENT avgdl) is recomputed per query).
+# Affine (base, scale) params live in the manifest per directory dir
+# ("dir_quant"), so append deltas quantize against their own range and
+# can never clamp below a true value. Two u8s replace (i32, i32, f64).
 DIRECTORY = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("shard", T.LongType(), False),
     T.StructField("n_blocks", T.IntegerType(), False),
     T.StructField("n_postings", T.LongType(), False),
-    # (max_tf, min_dl) give the avgdl-drift-safe upper bound
-    # idf * tfnorm(max_tf, min_dl, current_avgdl); gmax (tfnorm at build
-    # avgdl) is kept for diagnostics but NOT used for pruning, because an
-    # append that raises avgdl raises true scores above a stale gmax.
-    T.StructField("max_tf", T.IntegerType(), False),
-    T.StructField("min_dl", T.IntegerType(), False),
-    T.StructField("gmax", T.DoubleType(), False),
+    T.StructField("max_tf_q", T.ShortType(), False),
+    T.StructField("min_dl_q", T.ShortType(), False),
 ])
 
 # Search results.

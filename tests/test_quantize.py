@@ -57,3 +57,32 @@ def test_spark_matches_numpy_and_sql(spark):
         " AS q FROM (SELECT unnest(?::DOUBLE[]) AS v)",
         params=[list(map(float, x))]).fetchall()
     assert [int(r[0]) for r in sql_vals] == [int(v) for v in want]
+
+
+def test_column_quantize_bounds_admissible(spark):
+    """Ceil/floor Column variants: dequant(quant_up(x)) >= x and
+    dequant(quant_down(x)) <= x for every value in range — the property
+    that keeps u8 directory bounds exact for pruning."""
+    import pyspark.sql.functions as F
+
+    from pdx_spark.functions.quantize import (dequantize_col,
+                                              quantize_down_col,
+                                              quantize_up_col)
+    vals = list(range(1, 300, 7)) + [1, 299]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    lo, hi = float(min(vals)), float(max(vals))
+    scale = 255.0 / (hi - lo)
+    out = df.select(
+        "x",
+        dequantize_col(quantize_up_col(F.col("x"), lo, scale), lo, scale)
+        .alias("up"),
+        dequantize_col(quantize_down_col(F.col("x"), lo, scale), lo, scale)
+        .alias("dn")).collect()
+    for r in out:
+        assert r["up"] >= r["x"] - 1e-9, (r["x"], r["up"])
+        assert r["dn"] <= r["x"] + 1e-9, (r["x"], r["dn"])
+    # flat range: scale 0 round-trips to base exactly
+    flat = spark.createDataFrame([(5,)], "x int").select(
+        dequantize_col(quantize_up_col(F.col("x"), 5.0, 0.0), 5.0, 0.0)
+        .alias("v")).collect()[0]["v"]
+    assert flat == 5.0
