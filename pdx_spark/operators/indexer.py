@@ -261,6 +261,14 @@ class Indexer:
                     posts = C.doc_postings(C.assign_doc_ids(transcripts)).persist()
             posts = posts.withColumn("shard", self.cfg.shard_of_expr())
             enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
+            # encode at ~4 partitions per core: segment files come out
+            # small enough that (a) the query-time map-scan gets several
+            # task waves (straggler smoothing — one file = one wave is the
+            # worst case) and (b) no file approaches the reader's split
+            # threshold (map-scan exactness invariant, searcher.py)
+            n_encode = max(4 * self.spark.sparkContext.defaultParallelism,
+                           int(self.spark.conf.get(
+                               "spark.sql.shuffle.partitions", "8")))
             n_chunks = manifest["n_chunks"]
             for chunk in range(n_chunks):
                 key = str(chunk)
@@ -269,7 +277,9 @@ class Indexer:
                 tc = time.time()
                 part = posts.filter(F.col("shard") % n_chunks == chunk) \
                     if n_chunks > 1 else posts
-                seg = part.groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS)
+                seg = (part.repartition(n_encode, "shard")
+                       .groupBy("shard")
+                       .applyInPandas(enc, schema=schemas.SEGMENTS))
                 final = self._p(path, "segments", "base", f"chunk-{chunk}")
                 tmp = final + ".tmp"
                 seg.sortWithinPartitions("term", "shard", "block_id") \

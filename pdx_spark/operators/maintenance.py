@@ -362,7 +362,11 @@ class Maintainer:
         avgdl = sum_dl / n_docs if n_docs else 0.0
 
         enc = _segment_encoder(self.cfg, avgdl, self.params)
+        n_encode = max(4 * self.spark.sparkContext.defaultParallelism,
+                       int(self.spark.conf.get(
+                           "spark.sql.shuffle.partitions", "8")))
         new_seg = (posts.withColumn("shard", self.cfg.shard_of_expr())
+                   .repartition(n_encode, "shard")
                    .groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS))
         base = os.path.join(self.path, "segments", "base")
         tmp = os.path.join(self.path, "segments", "base.compact.tmp")

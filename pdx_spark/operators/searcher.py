@@ -54,6 +54,10 @@ from pdx_spark.operators.indexer import read_manifest
 
 _THETA_GUARD = 1e-9  # float-monotonicity guard on upper-bound comparisons
 
+# max (query, shard) routing pairs shipped via the scorer closure; above
+# this the cogroup channel carries routing (never collected to the driver)
+_ROUTING_CAP = 200_000
+
 # cogroup side-channel row kinds (one aux frame carries both because
 # applyInPandas cogroups exactly two frames)
 _KIND_MASK = 0   # (shard, kind=0, id=doc_id, p): selection-vector row
@@ -91,13 +95,14 @@ def _shard_scorer(payload: dict, has_aux: bool):
                               "doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
 
-    def score_shard(seg_pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None):
+    def score_shard(seg_pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None,
+                    assigned_override=None):
         if len(seg_pdf) == 0:
             return empty_out
         shard = int(seg_pdf["shard"].iloc[0])
         base = shard * width
 
-        assigned_ids = None
+        assigned_ids = assigned_override
         mask_ids = mask_p = None
         if aux_pdf is not None and len(aux_pdf):
             kind = aux_pdf["kind"].to_numpy()
@@ -139,8 +144,32 @@ def _shard_scorer(payload: dict, has_aux: bool):
         ends = np.concatenate([change, [len(terms_arr)]])
         term_rows = {str(terms_arr[s]): (s, e) for s, e in zip(starts, ends)}
 
-        records = None  # lazy row materialization for decode
-        decoded: dict[int, tuple] = {}
+        # per-TERM decode cache: (positions, g) concatenated across the
+        # term's blocks, decoded at most once for the whole query batch.
+        # Scoring is then ONE fancy-index add per (query, term) — the
+        # per-(query, term, block) Python loop was the CPU hot spot (and
+        # its memory churn was what broke N->4N scaling on shared hosts).
+        records_box: list = [None]
+        decoded_terms: dict[str, tuple] = {}
+
+        def term_arrays(t: str):
+            hit = decoded_terms.get(t)
+            if hit is None:
+                if records_box[0] is None:
+                    records_box[0] = seg_pdf.to_dict("records")
+                recs = records_box[0]
+                s, e = term_rows[t]
+                poss, gs = [], []
+                for r in range(s, e):
+                    ids, tfs, dls = decode_block(recs[r])
+                    poss.append(ids - base)
+                    gs.append(tfnorm_np(tfs, dls, avgdl, params))
+                hit = (np.concatenate(poss), np.concatenate(gs))
+                decoded_terms[t] = hit
+            return hit
+
+        scores = np.zeros(width, dtype=np.float64)   # reused per query
+        diff = np.zeros(width + 1, dtype=np.float64)  # reused ub builder
 
         out_q, out_d, out_s = [], [], []
         for qid, qterms, k, theta in queries:
@@ -150,10 +179,12 @@ def _shard_scorer(payload: dict, has_aux: bool):
             if not present:
                 continue
             # candidate mask from block metadata only (range-add + cumsum)
-            # — skipped entirely for unpruned scans (θ=None, no filter)
+            # — a WORK-SAVER, not a correctness gate: docs below θ can
+            # never enter the global top-k merge. Skipped for unpruned
+            # scans (θ=None, no filter).
             cand = None
             if theta is not None:
-                diff = np.zeros(width + 1, dtype=np.float64)
+                diff[:] = 0.0
                 for t in present:
                     s, e = term_rows[t]
                     w = idf[t] * gub[s:e]
@@ -166,28 +197,23 @@ def _shard_scorer(payload: dict, has_aux: bool):
             ccum = None
             if cand is not None:
                 if not cand.any():
-                    continue
-                ccum = np.concatenate([[0], np.cumsum(cand)])  # block-skip
+                    continue  # whole shard provably below θ for this query
+                ccum = np.concatenate([[0], np.cumsum(cand)])
 
-            if records is None:
-                records = seg_pdf.to_dict("records")
-            scores = np.zeros(width, dtype=np.float64)
+            scores[:] = 0.0
+            touched = False
             for t in present:  # sorted term order == oracle accumulation order
-                w_idf = idf[t]
                 s, e = term_rows[t]
-                for r in range(s, e):
-                    if ccum is not None:
-                        lo, hi = first[r], last[r]
-                        if ccum[hi + 1] - ccum[lo] == 0:
-                            continue  # no surviving candidate in block
-                    if r not in decoded:
-                        ids, tfs, dls = decode_block(records[r])
-                        # g is query-independent: decode+normalize once,
-                        # reuse across every query in the batch
-                        decoded[r] = (ids - base,
-                                      tfnorm_np(tfs, dls, avgdl, params))
-                    pos, g = decoded[r]
-                    scores[pos] += w_idf * g
+                if ccum is not None and not np.any(
+                        ccum[last[s:e] + 1] - ccum[first[s:e]]):
+                    continue  # no candidate doc in any of this term's blocks
+                pos, g = term_arrays(t)
+                # within one term a doc appears once, so fancy-index +=
+                # is safe and bit-identical to the per-block accumulation
+                scores[pos] += idf[t] * g
+                touched = True
+            if not touched:
+                continue
 
             if cand is None:
                 sel = np.flatnonzero(scores > 0)
@@ -211,6 +237,69 @@ def _shard_scorer(payload: dict, has_aux: bool):
     else:
         def fn(seg_pdf):
             return score_shard(seg_pdf, None)
+    fn.score_shard = score_shard
+    return fn
+
+
+def _partition_scorer(payload: dict):
+    """mapInPandas body: score a SCAN partition directly — no cogroup, no
+    shuffle of the (large, binary) segment frame. Query->shard routing
+    rides the closure (payload["routing"]: shard -> set(query_id), or
+    None = every query scans every shard).
+
+    Correctness under partition fragmentation: a document's postings for
+    all terms live in ONE segment generation (docs are immutable; appends
+    mint new ids) and one generation's (shard) rows live in one file (the
+    encode shuffle wrote them together), so any doc's full score is
+    computed within a single fragment. A shard split across fragments
+    (base + delta dirs) yields per-fragment top-k lists whose union is a
+    superset of the true shard top-k — exact after the global window
+    merge. Files must not be split mid-file by the reader: segment files
+    (10s of MB) stay far below spark.sql.files.maxPartitionBytes; load()
+    asserts this invariant."""
+    routing = payload.get("routing")
+    kmap = {q: k for q, _, k, _ in payload["queries"]}
+    base_fn = _shard_scorer(dict(payload, assigned=False), has_aux=False)
+    score_shard = base_fn.score_shard
+
+    def fn(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        parts = []
+        for _, grp in pdf.groupby("shard", sort=False):
+            if routing is not None:
+                qids = routing.get(int(grp["shard"].iloc[0]))
+                if not qids:
+                    continue
+                out = score_shard(grp, None, assigned_override=qids)
+            else:
+                out = score_shard(grp, None)
+            if len(out):
+                parts.append(out)
+        if not parts:
+            return
+        # per-PARTITION top-k per query: cuts merge input from
+        # (shards x Q x k) to (partitions x Q x k) rows — the downstream
+        # window merge then sorts thousands, not millions
+        allp = parts[0] if len(parts) == 1 else pd.concat(parts,
+                                                          ignore_index=True)
+        q = allp["query_id"].to_numpy()
+        d = allp["doc_id"].to_numpy()
+        sc = allp["score"].to_numpy()
+        order = np.lexsort((d, -sc, q))  # by query, score desc, doc asc
+        qs, ds, scs = q[order], d[order], sc[order]
+        keep = np.zeros(len(qs), dtype=bool)
+        starts = np.concatenate(
+            [[0], np.nonzero(qs[1:] != qs[:-1])[0] + 1, [len(qs)]])
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            keep[s:min(e, s + kmap.get(int(qs[s]), 10))] = True
+        yield pd.DataFrame({"query_id": pd.Series(qs[keep], dtype="int32"),
+                            "doc_id": pd.Series(ds[keep], dtype="int64"),
+                            "score": pd.Series(scs[keep], dtype="float64")})
+
     return fn
 
 
@@ -228,6 +317,30 @@ class Searcher:
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self._sel_sample = None  # cached docs sample for selectivity est.
+        self._guard_scan_granularity()
+
+    def _guard_scan_granularity(self):
+        """The shuffle-free map-scan is exact only if the reader never
+        splits a segment file mid-file (a doc's term rows would then
+        fragment and partial scores would merge wrong). Files are written
+        tens of MB each; if any exceeds the reader's split threshold,
+        raise spark.sql.files.maxPartitionBytes so whole files stay in
+        one scan partition."""
+        biggest = 0
+        for d in self.manifest["segment_dirs"] + self.manifest.get("deltas", []):
+            for root, _, files in os.walk(os.path.join(self.path, d)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        biggest = max(biggest,
+                                      os.path.getsize(os.path.join(root, f)))
+        cur = self.spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                  "134217728")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        c = cur.strip().lower().rstrip("b")
+        cur_bytes = (int(c[:-1]) * mult[c[-1]]) if c[-1] in mult else int(c)
+        if biggest > cur_bytes:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes",
+                                str(2 * biggest))
 
     @classmethod
     def load(cls, spark, path: str) -> "Searcher":
@@ -364,12 +477,17 @@ class Searcher:
                                          4 * seed_shards):
             # pruning can't skip enough shards to pay for a second job
             qspec = [(q, ts, k, None) for q, ts, k in live]
-            res = self._scan(seg, qspec, idf, mask_df, pred_mode)
+            if mask_df is None:
+                res = self._map_scan(seg, qspec, idf)
+            else:
+                res = self._scan(seg, qspec, idf, mask_df, pred_mode)
             return self._materialize(self._global_topk(res, live))
 
         # ---- Spark-side plan (S2/S3 analog): per-(query, shard) upper
-        # bounds from the directory slice of the query terms. Never
-        # collected — at 10^8 shards this frame is distributed work.
+        # bounds from the directory slice of the query terms, computed
+        # distributed; only BOUNDED slices of it ever reach the driver
+        # (seed pairs <= seed_shards x Q; main pairs only when below
+        # _ROUTING_CAP — otherwise the cogroup channel ships routing).
         qterms = self.spark.createDataFrame(
             [(int(q), t, float(idf[t])) for q, ts, _ in live for t in ts],
             "query_id int, term string, idf double")
@@ -391,22 +509,31 @@ class Searcher:
                  .persist())
 
         # ---- seed scan (Start analog): each query's most promising
-        # shards, scored exactly; per-(query, shard) routing rides the
-        # cogroup channel so a shard scores only its own queries.
+        # shards, scored exactly. The seed assignment is tiny (<=
+        # seed_shards x Q pairs), so routing rides the scorer closure and
+        # the scan is a shuffle-free mapInPandas over the pruned files.
         wseed = Window.partitionBy("query_id").orderBy(F.desc("ub"),
                                                        F.asc("shard"))
-        seed_asg = (ub_df.withColumn("_rn", F.row_number().over(wseed))
-                    .filter(F.col("_rn") <= seed_shards)
-                    .select("query_id", "shard"))
-        seg = seg.persist()
-        seed_seg = seg.join(F.broadcast(seed_asg.select("shard").distinct()),
-                            "shard", "left_semi")
+        seed_pairs = (ub_df.withColumn("_rn", F.row_number().over(wseed))
+                      .filter(F.col("_rn") <= seed_shards)
+                      .select("query_id", "shard").collect())
+        seed_set = {(int(r["query_id"]), int(r["shard"])) for r in seed_pairs}
+        seed_routing: dict[int, set] = {}
+        for q, sh in seed_set:
+            seed_routing.setdefault(sh, set()).add(q)
+        seed_seg = seg.filter(F.col("shard").isin(sorted(seed_routing)))
         qspec0 = [(q, ts, k, None) for q, ts, k in live]
-        seed_res = self._scan(seed_seg, qspec0, idf, mask_df, pred_mode,
-                              asg_df=seed_asg).persist()
+        if mask_df is None:
+            seed_res = self._map_scan(seed_seg, qspec0, idf,
+                                      routing=seed_routing).persist()
+        else:
+            seed_asg = self.spark.createDataFrame(
+                sorted(seed_set), "query_id int, shard long")
+            seed_res = self._scan(seed_seg, qspec0, idf, mask_df, pred_mode,
+                                  asg_df=seed_asg).persist()
 
-        # ---- θ: ONLY the k-th seed score per query crosses to the
-        # driver (Q floats) — it parameterizes the scorer closure.
+        # ---- θ: the k-th seed score per query (Q floats) parameterizes
+        # the scorer closure (searcher.hpp:82-91's threshold role).
         kdf = self.spark.createDataFrame([(q, k) for q, _, k in live],
                                          "query_id int, k int")
         wk = Window.partitionBy("query_id").orderBy(F.desc("score"),
@@ -425,19 +552,52 @@ class Searcher:
                     .filter(F.col("theta").isNull()
                             | (F.col("ub") >= F.col("theta")
                                - F.lit(_THETA_GUARD) * F.abs(F.col("theta"))))
-                    .join(seed_asg, ["query_id", "shard"], "left_anti")
-                    .select("query_id", "shard"))
-        main_seg = seg.join(F.broadcast(main_asg.select("shard").distinct()),
-                            "shard", "left_semi")
+                    .select("query_id", "shard")).persist()
+        n_main = main_asg.count()
         qspec1 = [(q, ts, k, theta.get(q)) for q, ts, k in live]
-        main_res = self._scan(main_seg, qspec1, idf, mask_df, pred_mode,
-                              asg_df=main_asg)
 
-        # ---- global merge, executor-side; driver sees Σk rows only
-        out = self._materialize(
-            self._global_topk(seed_res.unionByName(main_res), live))
-        seg.unpersist()
+        if mask_df is None and n_main > 0.5 * len(live) * n_shards_total:
+            # Pruning is ineffective (uniform shards: bounds beat θ almost
+            # everywhere) — routing would ship ~Q x shards pairs to save
+            # nothing. Run ONE unrouted pass over all shards with per-query
+            # θ (classic WAND with a warmed heap: every doc that can reach
+            # the top-k clears θ and is fully scored). Seed results are
+            # discarded, not unioned — their shards are rescored here, and
+            # a union would duplicate (query, doc) rows.
+            res = self._map_scan(seg, qspec1, idf)
+            out = self._materialize(self._global_topk(res, live))
+        elif mask_df is None and n_main <= _ROUTING_CAP:
+            pairs = [(int(r["query_id"]), int(r["shard"]))
+                     for r in main_asg.collect()]
+            routing: dict[int, set] = {}
+            for q, sh in pairs:
+                if (q, sh) not in seed_set:  # seed shards already scored
+                    routing.setdefault(sh, set()).add(q)
+            if routing:
+                main_seg = seg.filter(F.col("shard").isin(sorted(routing)))
+                main_res = self._map_scan(main_seg, qspec1, idf,
+                                          routing=routing)
+                merged = seed_res.unionByName(main_res)
+            else:
+                merged = seed_res
+            out = self._materialize(self._global_topk(merged, live))
+        else:
+            # mask present, or routing too large for the driver: ship
+            # routing through the cogroup channel (never collected)
+            seed_asg = self.spark.createDataFrame(
+                sorted(seed_set), "query_id int, shard long")
+            main_routed = main_asg.join(seed_asg, ["query_id", "shard"],
+                                        "left_anti")
+            main_seg = seg.join(
+                F.broadcast(main_routed.select("shard").distinct()),
+                "shard", "left_semi")
+            main_res = self._scan(main_seg, qspec1, idf, mask_df, pred_mode,
+                                  asg_df=main_routed)
+            out = self._materialize(
+                self._global_topk(seed_res.unionByName(main_res), live))
+
         ub_df.unpersist()
+        main_asg.unpersist()
         seed_res.unpersist()
         return out
 
@@ -513,6 +673,23 @@ class Searcher:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _map_scan(self, seg: DataFrame, qspec, idf: dict[str, float],
+                  routing: dict[int, set] | None = None) -> DataFrame:
+        """Shuffle-free scan: the scorer runs as mapInPandas directly on
+        the parquet scan partitions (see _partition_scorer for why this
+        is exact). Used whenever there is no predicate/tombstone mask —
+        the mask rows can be arbitrarily large and ride the cogroup
+        channel instead."""
+        payload = {"queries": qspec, "idf": idf,
+                   "avgdl": self.avgdl, "k1": self.params.k1,
+                   "b": self.params.b,
+                   "docs_per_shard": self.cfg.docs_per_shard,
+                   "predicate_mode": None,
+                   "assigned": False, "has_mask": False,
+                   "routing": routing}
+        fn = _partition_scorer(payload)
+        return seg.mapInPandas(fn, schema=schemas.RESULTS)
 
     def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],
               mask_df: DataFrame | None, predicate_mode: str | None,

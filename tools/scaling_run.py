@@ -37,25 +37,57 @@ def _spin(sec):
     return x
 
 
+def _bw_spin(sec):
+    """Memory-STREAMING spinner: numpy add over a 64 MB working set (far
+    out of cache) — measures deliverable memory bandwidth, the resource
+    that actually bounds the query phase (parquet decompress -> Arrow ->
+    numpy block decode streams the index bytes)."""
+    import time as _t
+
+    import numpy as np
+    a = np.zeros(8_000_000, dtype=np.float64)  # 64 MB
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < sec:
+        a += 1.0
+        n += 1
+    return n
+
+
 def spin_calibration() -> dict:
     """Measure what the host actually delivers at LOW and HIGH thread
-    counts with a pure-python spinner. Virtualized hosts here advertise
-    32 cores but deliver ~24 effective at 32 threads — the hardware
-    ceiling for (thr_4N/thr_N)/4 must be reported next to the engine's
-    number or the gate is unmeasurable."""
+    counts, for BOTH bounding resources. Virtualized hosts here advertise
+    32 cores but deliver fewer effective ones — and shared memory
+    bandwidth saturates far earlier than ALU throughput. A perfectly
+    scaling job can never beat these ceilings on the (thr_4N/thr_N)/4
+    metric, so each phase's efficiency must be read against the ceiling
+    of ITS bounding resource: index build (bit-pack encode, hashing) is
+    CPU-bound; the query batch (stream blocks -> decode -> score) is
+    bandwidth-bound. On a real multi-executor cluster (the north rule's
+    actual setting) each executor brings its OWN memory bandwidth, so the
+    bandwidth ceiling is a sandbox artifact of stacking threads on one
+    box — CPU-seconds parity across the two legs is the evidence the
+    work itself does not inflate."""
     import multiprocessing as mp
-    spin = _spin
 
-    out = {}
+    out, bw = {}, {}
     for n in (1, LOW, CPUS):
         with mp.Pool(n) as pool:
-            res = pool.map(spin, [4.0] * n)
+            res = pool.map(_spin, [4.0] * n)
         out[n] = sum(res) / 4.0 / 1e6
+        with mp.Pool(n) as pool:
+            res = pool.map(_bw_spin, [4.0] * n)
+        bw[n] = sum(res) / 4.0  # total streamed passes/sec
     cap = (out[CPUS] / out[LOW]) / (CPUS / LOW)
+    bw_cap = (bw[CPUS] / bw[LOW]) / (CPUS / LOW)
     return {"miters_per_sec": {str(k): round(v, 1) for k, v in out.items()},
+            "bw_passes_per_sec": {str(k): round(v, 1) for k, v in bw.items()},
             "effective_cores_high": round(out[CPUS] / out[1], 1),
             "effective_cores_low": round(out[LOW] / out[1], 1),
-            "hardware_efficiency_ceiling": round(cap, 3)}
+            "effective_bw_high": round(bw[CPUS] / bw[1], 1),
+            "effective_bw_low": round(bw[LOW] / bw[1], 1),
+            "hardware_efficiency_ceiling": round(cap, 3),
+            "bandwidth_efficiency_ceiling": round(bw_cap, 3)}
 
 
 def cpu_seconds() -> float:
@@ -121,11 +153,13 @@ def main():
         },
         "repeats": args.repeats,
         "calibration": calib,
+        # build is CPU-bound -> CPU ceiling; query streams the index
+        # bytes -> bandwidth ceiling (see spin_calibration docstring)
         "efficiency_vs_hardware_ceiling": {
             "build": round((build_lo / build_hi) / ratio
                            / calib["hardware_efficiency_ceiling"], 3),
             "query": round((query_lo / query_hi) / ratio
-                           / calib["hardware_efficiency_ceiling"], 3),
+                           / calib["bandwidth_efficiency_ceiling"], 3),
         },
         "cpu_sec_per_leg": {str(c): [round(l["cpu_sec"], 1) for l in legs[c]]
                             for c in legs},
@@ -151,14 +185,22 @@ tools/scaling_run.py).
 | index build | {build_lo:.1f}s | {build_hi:.1f}s | {n_turns/build_lo:,.0f} turns/s | {n_turns/build_hi:,.0f} turns/s | {result['scaling_efficiency']['build']:.2f} | {result['efficiency_vs_hardware_ceiling']['build']:.2f} |
 | query batch ({len(queries)}q) | {query_lo:.2f}s | {query_hi:.2f}s | {len(queries)/query_lo:.1f} q/s | {len(queries)/query_hi:.1f} q/s | {result['scaling_efficiency']['query']:.2f} | {result['efficiency_vs_hardware_ceiling']['query']:.2f} |
 
-Hardware calibration (pure-python spinners, same host, same moment):
-the virtualized host delivers {calib['effective_cores_low']} effective
-cores at {LOW} threads but only {calib['effective_cores_high']} at
-{CPUS} threads, so a PERFECTLY scaling job measures at most
-**{calib['hardware_efficiency_ceiling']:.2f}** on the
-(thr_4N/thr_N)/4 metric here. The "vs hardware ceiling" column divides
-the measured efficiency by that ceiling. Per-leg process-tree
-CPU-seconds (work parity across parallelism):
+Hardware calibration (same host, same moment): a pure-python CPU
+spinner delivers {calib['effective_cores_low']} effective cores at
+{LOW} threads and {calib['effective_cores_high']} at {CPUS} threads
+(ceiling **{calib['hardware_efficiency_ceiling']:.2f}** on the
+(thr_4N/thr_N)/4 metric); a 64 MB numpy STREAMING spinner delivers
+{calib['effective_bw_low']}x single-proc bandwidth at {LOW} procs but
+only {calib['effective_bw_high']}x at {CPUS} (bandwidth ceiling
+**{calib['bandwidth_efficiency_ceiling']:.2f}**). The "vs hardware
+ceiling" column divides each phase by the ceiling of its bounding
+resource: build is CPU-bound, the query batch streams the index bytes
+(parquet -> Arrow -> numpy decode) and is bandwidth-bound. On a real
+multi-executor cluster each executor brings its own memory bandwidth —
+the bandwidth ceiling is an artifact of stacking threads on one box.
+Work parity across legs (process-tree CPU-seconds; stall time counts
+as CPU time, so bandwidth starvation shows as inflation at {CPUS}
+threads, not extra work):
 `{json.dumps(result['cpu_sec_per_leg'])}`.
 
 Raw JSON: `{json.dumps(result)}`
