@@ -79,7 +79,12 @@ def write_directory(seg: DataFrame, final: str) -> dict:
         quantize_down_col(F.col("min_dl"), params["dl_base"],
                           params["dl_scale"]).cast("short").alias("min_dl_q"))
     tmp = final + ".tmp"
-    q.sortWithinPartitions("term", "shard").write.mode("overwrite").parquet(tmp)
+    # range-partition by term: the planner's per-batch directory slice
+    # (filter term.isin(query terms)) then prunes whole FILES/row groups,
+    # so planning cost tracks the query's term count, not corpus size
+    (q.repartitionByRange("term", "shard")
+     .sortWithinPartitions("term", "shard")
+     .write.mode("overwrite").parquet(tmp))
     rows.unpersist()
     os.makedirs(os.path.dirname(final), exist_ok=True)
     if os.path.exists(final):
