@@ -117,6 +117,23 @@ def run_leg(cores: int, queries, trans_path: str, warmup: bool = True) -> dict:
         t0 = time.time()
         searcher.search_batch(queries, two_phase_min_shards=2).count()
         out["query_pruned_sec"] = time.time() - t0
+
+        # O(delta) maintenance: append ~2% of the corpus as a delta and
+        # re-query — appends never rewrite base artifacts (see
+        # maintenance.py), so this should cost delta-proportional time
+        from pyspark.sql import functions as F
+
+        from pdx_spark.operators.maintenance import Maintainer
+        app_df = df.filter(F.crc32(F.col("conv_id").cast("string")) % 50 == 0)
+        n_app = app_df.count()
+        t0 = time.time()
+        Maintainer(spark, idx_path).append(app_df, batch_id=0)
+        out["append_sec"] = time.time() - t0
+        out["append_rows"] = n_app
+        out["append_rows_per_sec"] = n_app / out["append_sec"]
+        t0 = time.time()
+        Searcher.load(spark, idx_path).search_batch(queries[:50]).count()
+        out["query_post_append_sec"] = time.time() - t0
         shutil.rmtree(idx_path, ignore_errors=True)
     finally:
         spark.stop()
@@ -137,6 +154,8 @@ def main():
         f"query{len(queries)}_c{CPUS}": round(leg["query_sec"], 3),
         f"query{len(queries)}_pruned_c{CPUS}": round(leg["query_pruned_sec"], 3),
         f"exact50_c{CPUS}": round(leg["exact50_sec"], 3),
+        f"append2pct_c{CPUS}": round(leg["append_sec"], 3),
+        f"query50_post_append_c{CPUS}": round(leg["query_post_append_sec"], 3),
     }
     total = round(leg["build_sec"] + leg["query_sec"], 3)
     print(json.dumps({
@@ -146,7 +165,8 @@ def main():
         "n_turns": leg["n_turns"],
         "throughput": {
             "build_turns_per_sec": round(leg["build_turns_per_sec"], 1),
-            "qps": round(leg["qps"], 2)},
+            "qps": round(leg["qps"], 2),
+            "append_rows_per_sec": round(leg["append_rows_per_sec"], 1)},
     }))
 
 
