@@ -11,29 +11,39 @@ Mirrors the reference's pruned scan (PDXearch::Search,
      (query, shard) upper bounds — the "rank clusters by promise" step
      (searcher.hpp:181-215) as a DataFrame, never collected.
   3. Seed scan ("Start", searcher.hpp:218-281): each query's most
-     promising `seed_shards` shards are scored exactly; the ONLY thing
-     that crosses to the driver is the k-th best seed score per query
-     (θ) — Q floats, not candidate rows.
+     promising `seed_shards` shards are scored exactly. Driver traffic
+     is bounded: the seed routing (≤ seed_shards × Q pairs) and the
+     k-th best seed score per query (θ, Q floats) — never candidates.
   4. Main scan ("Warmup/Prune", searcher.hpp:376-540): per-(query,
-     shard) assignments where the upper bound can still beat θ are
-     cogrouped with the segments, so a shard scores only the queries
-     routed to it (work = Σ_q |shards_q|, not |shards| × Q). Inside a
-     shard the scorer builds a per-doc upper-bound array from block
-     metadata alone (range-add/cumsum), masks docs below θ, skips
-     blocks with no surviving candidate, and fully scores the rest
-     vectorized (numpy is our SIMD; scalar_computers.hpp:19-44's role).
-     Exactness: every block containing a candidate is decoded, so
-     candidate scores are complete; pruned docs provably score < θ.
-  5. Global merge: seed ∪ main results -> window top-k per query
-     (Spark's TakeOrderedAndProject-equivalent, executor-side), then a
-     final Σk-row collect. Tie-break (score desc, doc_id asc).
+     shard) assignments where the upper bound can still beat θ route
+     each shard to only its own queries (work = Σ_q |shards_q|, not
+     |shards| × Q). Scans are SHUFFLE-FREE: segment files hold complete
+     shards (the encode shuffle wrote them that way), so the scorer
+     runs as mapInPandas directly on the parquet scan with routing in
+     the closure (_partition_scorer; the cogroup channel remains for
+     predicate masks and routing above _ROUTING_CAP). When θ cannot
+     prune (uniform corpora — every shard's bound beats θ), the
+     planner detects it from the main-pair ratio and runs ONE unrouted
+     pass instead, discarding the seed results (their shards are
+     rescored; a union would duplicate rows). Inside a shard the
+     scorer builds a per-doc upper-bound array from block metadata
+     alone (range-add/cumsum), masks docs below θ, skips terms with no
+     surviving candidate, decodes each term once per batch, and scores
+     with one vectorized add per (query, term) in float64 (numpy is
+     our SIMD; scalar_computers.hpp:19-44's role). Exactness: every
+     term with a candidate is decoded fully, so candidate scores are
+     complete; pruned docs provably score < θ.
+  5. Global merge: per-partition per-query top-k -> window top-k per
+     query (Spark's TakeOrderedAndProject-equivalent, executor-side),
+     then a final Σk-row collect. Tie-break (score desc, doc_id asc).
 
-Everything between steps is a DataFrame; the scorer is one Arrow-batched
-applyInPandas per shard. Queries run as a batch (one pass scores all
-queries of the batch — amortizes job overhead, SURVEY §7.4). A batch is
-exactly three Spark jobs: idf lookup, seed scan (→ θ), main scan +
-merge — the Amdahl serial fraction is job scheduling only, which is what
+Queries run as a batch (one pass scores all queries of the batch —
+amortizes job overhead, SURVEY §7.4). A batch is a handful of bounded
+jobs: idf lookup, plan + seed scan (→ θ), main scan + merge — the
+serial fraction is job scheduling plus Q-sized collects, which is what
 makes query throughput scale with executors (north rule ≥0.8 N→4N).
+The remaining single-box limit is memory bandwidth (the scan streams
+block bytes through Arrow/numpy) — see BENCH.md's bandwidth ceiling.
 """
 
 from __future__ import annotations
