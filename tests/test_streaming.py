@@ -66,3 +66,62 @@ def _keys(spark, searcher, q):
             .select("conv_id", "turn_idx", F.round("score", 9).alias("s"))
             .collect())
     return sorted((r["conv_id"], r["turn_idx"], r["s"]) for r in rows)
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer over micro-batches == batch
+    sessionization (gap logic), minus each user's final still-open
+    session (held in state, unflushed under NoTimeout)."""
+    import pandas as pd
+
+    from pdx_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for u in range(6):
+        t = base + pd.Timedelta(minutes=u)
+        for s in range(3):               # 3 sessions per user
+            for e in range(2 + (u + s) % 3):   # 2-4 events each
+                rows.append((f"u{u}", t))
+                t += pd.Timedelta(minutes=5)
+            t += pd.Timedelta(minutes=90)      # gap > 30min closes
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"]).sort_values("ts")
+    mid = pdf["ts"].quantile(0.5)
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    sdf = spark.createDataFrame(pdf, "user_id string, ts timestamp")
+    # two time-split files -> two micro-batches; state must carry across
+    sdf.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+       .write.mode("append").parquet(in_dir)
+    sdf.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+       .write.mode("append").parquet(in_dir)
+
+    src = (spark.readStream.schema("user_id string, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sessionize_stream(src, gap_sec=1800)
+         .writeStream.format("memory").queryName("sess_out")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.table("sess_out").collect()}
+
+    # batch truth: lag/gap sessionization, drop each user's last session
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (sdf.withColumn("prev", F.lag("ts").over(w))
+            .withColumn("new_s", F.when(
+                F.col("prev").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
+                1).otherwise(0))
+            .withColumn("sid", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").cast("int").alias("n_events")))
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    want = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sess.join(last_sid, ["user_id", "sid"], "left_anti")
+            .collect()}
+    assert got == want and len(want) == 6 * 2  # 2 closed sessions per user
