@@ -438,6 +438,34 @@ def q_events_sessions(spark, sf_dir):
                     "n_sessions", "avg_events"))
 
 
+def q_events_sessions_stateful(spark, sf_dir):
+    """CLOSED sessions from the applyInPandasWithState streaming
+    sessionizer (availableNow over the events fixture). Oracle: batch
+    gap-sessionization minus each user's final (still-open) session —
+    exactly what append-mode state emits."""
+    import tempfile
+
+    from pdx_spark.streaming.sessions import sessionize_stream
+    src_file = os.path.join(sf_dir, "events.parquet")
+    ev_schema = spark.read.parquet(src_file).schema
+    # readStream needs a DIRECTORY source; the fixture is a single file
+    stream_dir = tempfile.mkdtemp(prefix="ev_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src_file), link)
+    src = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    name = "sess_stateful_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = (sessionize_stream(src, gap_sec=1800)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    "session_start", "session_end",
+                    F.col("n_events").cast("bigint").alias("n_events")))
+
+
 def q_tpch_pricing(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (li.groupBy("l_returnflag", "l_linestatus")
@@ -569,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "events_sessions_stateful": q_events_sessions_stateful,
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
         "media_features": q_media_features,
@@ -886,6 +915,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        # closed sessions = all gap-sessions minus each user's last one
+        # (append-mode state holds the open tail); timestamps compared
+        # as emitted (us precision both sides)
+        "events_sessions_stateful": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+            per AS (SELECT user_id, sid, min(ts) AS session_start,
+                           max(ts) AS session_end, count(*) AS n_events
+                    FROM s GROUP BY 1, 2),
+            last AS (SELECT user_id, max(sid) AS sid FROM per GROUP BY 1)
+            SELECT p.user_id, p.session_start, p.session_end, p.n_events
+            FROM per p LEFT JOIN last l
+              ON p.user_id = l.user_id AND p.sid = l.sid
+            WHERE l.user_id IS NULL""",
         "events_sessions": """
             WITH g AS (
               SELECT user_id, ts,

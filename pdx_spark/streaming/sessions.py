@@ -67,8 +67,9 @@ def sessionize_stream(events_stream, gap_sec: int = 1800):
     """events_stream: streaming DataFrame(user_id, ts, ...). Returns an
     unstarted streaming DataFrame of CLOSED sessions (caller picks the
     sink/trigger)."""
+    from pyspark.sql import functions as F
     return (events_stream
-            .select("user_id", "ts")
+            .select(F.col("user_id").cast("string").alias("user_id"), "ts")
             .groupBy("user_id")
             .applyInPandasWithState(
                 _sessionizer(gap_sec),
