@@ -234,6 +234,29 @@ def q_postings(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_exact_norm(spark, sf_dir):
+    """Normalization-tolerant exact dedup: case/whitespace variants of
+    every 7th doc are planted, so normalize=True must group them."""
+    from pdx_spark.operators.dedup import exact_dup_groups
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    off = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
+    variant = (d.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + off).alias("doc_id"),
+                       F.concat(F.upper("text"), F.lit("  ")).alias("text")))
+    both = d.unionByName(variant)
+    return (exact_dup_groups(both, normalize=True)
+            .select("text_md5", "n_dups", "canonical_doc_id"))
+
+
+def q_dedup_drop_list(spark, sf_dir):
+    """Greedy dedup resolution over the MinHash-LSH verified pairs."""
+    from pdx_spark.operators.dedup import dedup_drop_list, minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_dup_corpus(spark, sf_dir), n=3,
+                              num_hashes=16, bands=4, threshold=0.5)
+    return (dedup_drop_list(pairs)
+            .select(F.col("drop_id").cast("bigint").alias("drop_id")))
+
+
 def q_dedup_exact(spark, sf_dir):
     from pdx_spark.operators.dedup import exact_dup_groups
     return (exact_dup_groups(_dup_corpus(spark, sf_dir))
@@ -581,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "postings": q_postings,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_norm": q_dedup_exact_norm,
+        "dedup_drop_list": q_dedup_drop_list,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -743,6 +768,46 @@ _ANN_TOPK_SQL = """
     ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"""
 
 
+_MINHASH_PAIRS_SQL = f"""
+            WITH sig AS ({_minhash_sig_sql(_DUP_SQL)}),
+            buckets AS (
+              SELECT doc_id, 0 AS band,
+                     md5(m0::VARCHAR || '_' || m1::VARCHAR || '_'
+                         || m2::VARCHAR || '_' || m3::VARCHAR) AS bucket
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1,
+                     md5(m4::VARCHAR || '_' || m5::VARCHAR || '_'
+                         || m6::VARCHAR || '_' || m7::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 2,
+                     md5(m8::VARCHAR || '_' || m9::VARCHAR || '_'
+                         || m10::VARCHAR || '_' || m11::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 3,
+                     md5(m12::VARCHAR || '_' || m13::VARCHAR || '_'
+                         || m14::VARCHAR || '_' || m15::VARCHAR) FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id),
+            shing AS ({_shingles_sql(_DUP_SQL)}),
+            sizes AS (SELECT doc_id, len(sh) AS sz FROM shing),
+            common AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS common
+              FROM cand c
+              JOIN (SELECT doc_id, unnest(sh) AS h FROM shing) sa
+                ON sa.doc_id = c.doc_a
+              JOIN (SELECT doc_id, unnest(sh) AS h FROM shing) sb
+                ON sb.doc_id = c.doc_b AND sb.h = sa.h
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (za.sz + zb.sz - common), 6) AS jaccard
+            FROM common
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+            WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.5"""
+
 def oracle_sql() -> dict[str, str]:
     fp_step = "(a * 31 + b) % 1000000007"
     trans_path = _transcripts_fixture_path()
@@ -806,6 +871,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(coalesce(text, '')) AS text_md5,
                    count(*) AS n_dups, min(doc_id) AS canonical_doc_id
             FROM {_DUP_SQL} GROUP BY 1 HAVING count(*) >= 2""",
+        "dedup_exact_norm": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+                       AS doc_id,
+                     upper(text) || '  ' AS text
+              FROM documents WHERE doc_id % 7 = 0)
+            SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                           '\\s+', ' ', 'g'))) AS text_md5,
+                   count(*) AS n_dups, min(doc_id) AS canonical_doc_id
+            FROM uni GROUP BY 1 HAVING count(*) >= 2""",
+        "dedup_drop_list": "SELECT DISTINCT doc_b AS drop_id FROM ("
+                           + _MINHASH_PAIRS_SQL + ")",
         "dedup_jaccard": f"WITH shing AS ({_shingles_sql(_DUP_SQL)}), "
                          + _jaccard_tail_sql(0.8),
         "dedup_minhash": ("SELECT doc_id, m0, m1, m2, m3 FROM ("
@@ -826,45 +905,7 @@ def oracle_sql() -> dict[str, str]:
         # recall at this threshold (exact copies share every bucket), and
         # the Spark side verifies candidates with the same exact cosine
         "dedup_embedding_lsh": _EMB_PAIRS_SQL,
-        "dedup_minhash_pairs": f"""
-            WITH sig AS ({_minhash_sig_sql(_DUP_SQL)}),
-            buckets AS (
-              SELECT doc_id, 0 AS band,
-                     md5(m0::VARCHAR || '_' || m1::VARCHAR || '_'
-                         || m2::VARCHAR || '_' || m3::VARCHAR) AS bucket
-              FROM sig
-              UNION ALL
-              SELECT doc_id, 1,
-                     md5(m4::VARCHAR || '_' || m5::VARCHAR || '_'
-                         || m6::VARCHAR || '_' || m7::VARCHAR) FROM sig
-              UNION ALL
-              SELECT doc_id, 2,
-                     md5(m8::VARCHAR || '_' || m9::VARCHAR || '_'
-                         || m10::VARCHAR || '_' || m11::VARCHAR) FROM sig
-              UNION ALL
-              SELECT doc_id, 3,
-                     md5(m12::VARCHAR || '_' || m13::VARCHAR || '_'
-                         || m14::VARCHAR || '_' || m15::VARCHAR) FROM sig),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM buckets a JOIN buckets b USING (band, bucket)
-              WHERE a.doc_id < b.doc_id),
-            shing AS ({_shingles_sql(_DUP_SQL)}),
-            sizes AS (SELECT doc_id, len(sh) AS sz FROM shing),
-            common AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS common
-              FROM cand c
-              JOIN (SELECT doc_id, unnest(sh) AS h FROM shing) sa
-                ON sa.doc_id = c.doc_a
-              JOIN (SELECT doc_id, unnest(sh) AS h FROM shing) sb
-                ON sb.doc_id = c.doc_b AND sb.h = sa.h
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(common * 1.0 / (za.sz + zb.sz - common), 6) AS jaccard
-            FROM common
-            JOIN sizes za ON za.doc_id = doc_a
-            JOIN sizes zb ON zb.doc_id = doc_b
-            WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.5""",
+        "dedup_minhash_pairs": _MINHASH_PAIRS_SQL,
         "ann_bruteforce": _ANN_TOPK_SQL.format(qid=0, extra=""),
         # full probe (nprobe = 2^n_planes) scans every bucket => provably
         # equal to exact top-k; the SQL is a true oracle for the LSH path

@@ -25,16 +25,40 @@ from pdx_spark.functions.tokenize import tokens_col
 MERSENNE = (1 << 61) - 1
 
 
-def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+def normalized_text_col(col):
+    """Canonical text form for normalization-tolerant exact dedup:
+    lowercase, collapse whitespace runs, strip. Pure JVM expression;
+    SQL twin: trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     normalize: bool = False) -> DataFrame:
     """-> (text_md5, n_dups, canonical_doc_id, doc_ids sorted): groups of
-    byte-identical texts (size >= 2). One shuffle on the hash."""
-    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    byte-identical (or, with normalize=True, case/whitespace-insensitive)
+    texts (size >= 2). One shuffle on the hash."""
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    if normalize:
+        base = normalized_text_col(base)
+    h = F.md5(base)
     return (df.select(F.col("doc_id"), h.alias("text_md5"))
             .groupBy("text_md5")
             .agg(F.count("*").cast("long").alias("n_dups"),
                  F.min("doc_id").alias("canonical_doc_id"),
                  F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
             .filter(F.col("n_dups") >= 2))
+
+
+def dedup_drop_list(pairs: DataFrame, id_a: str = "doc_a",
+                    id_b: str = "doc_b") -> DataFrame:
+    """Resolution step for any near-dup PAIRS frame (minhash / simhash /
+    jaccard / embedding): keep each pair's smaller id, drop the larger —
+    the standard greedy canonicalization a filtering pipeline feeds its
+    anti-join. pairs are emitted with id_a < id_b by construction, so the
+    drop set is simply the distinct right side. -> (drop_id). Guarantees:
+    every duplicate pair loses >= 1 member; the globally smallest id of
+    every connected component is never dropped."""
+    return (pairs.select(F.col(id_b).alias("drop_id")).distinct())
 
 
 def shingles_df(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
