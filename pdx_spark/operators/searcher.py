@@ -557,13 +557,19 @@ class Searcher:
             [(int(q), float(t)) for q, t in theta.items()],
             "query_id int, theta double")
 
-        # ---- main scan over (query, shard) pairs that can still beat θ
+        # ---- main scan over (query, shard) pairs that can still beat θ.
+        # ONE bounded collect (limit CAP+1) both sizes the survivor set
+        # and fetches the routing when it is small — replacing a count
+        # job + a collect job with a single job. At most CAP+1 rows ever
+        # reach the driver; if the limit is hit, routing goes through
+        # the cogroup channel (or the unrouted pass) instead.
         main_asg = (ub_df.join(F.broadcast(theta_df), "query_id", "left")
                     .filter(F.col("theta").isNull()
                             | (F.col("ub") >= F.col("theta")
                                - F.lit(_THETA_GUARD) * F.abs(F.col("theta"))))
                     .select("query_id", "shard")).persist()
-        n_main = main_asg.count()
+        peek = main_asg.limit(_ROUTING_CAP + 1).collect()
+        n_main = len(peek)  # == true count unless the limit was hit
         qspec1 = [(q, ts, k, theta.get(q)) for q, ts, k in live]
 
         if mask_df is None and n_main > 0.5 * len(live) * n_shards_total:
@@ -577,8 +583,7 @@ class Searcher:
             res = self._map_scan(seg, qspec1, idf)
             out = self._materialize(self._global_topk(res, live))
         elif mask_df is None and n_main <= _ROUTING_CAP:
-            pairs = [(int(r["query_id"]), int(r["shard"]))
-                     for r in main_asg.collect()]
+            pairs = [(int(r["query_id"]), int(r["shard"])) for r in peek]
             routing: dict[int, set] = {}
             for q, sh in pairs:
                 if (q, sh) not in seed_set:  # seed shards already scored
