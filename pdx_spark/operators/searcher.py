@@ -327,6 +327,10 @@ class Searcher:
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self._sel_sample = None  # cached docs sample for selectivity est.
+        # populated by every search_batch: which physical strategy ran
+        # ({mode: exhaustive|routed|unrouted|cogroup, ...counts}) — the
+        # observability hook ops dashboards and tests read
+        self.last_plan: dict = {}
         self._guard_scan_granularity()
 
     def _guard_scan_granularity(self):
@@ -467,6 +471,7 @@ class Searcher:
         all_terms = sorted({t for _, ts, _ in parsed for t in ts})
         empty = self.spark.createDataFrame([], schemas.RESULTS)
         if not all_terms:
+            self.last_plan = {"mode": "empty"}
             return empty
 
         # idf of query terms (parquet filter pushdown on sorted term col)
@@ -476,6 +481,7 @@ class Searcher:
         live = [(q, [t for t in ts if t in idf], k) for q, ts, k in parsed]
         live = [(q, ts, k) for q, ts, k in live if ts]
         if not live:
+            self.last_plan = {"mode": "empty"}  # every term OOV/dead
             return empty
         all_terms = sorted({t for _, ts, _ in live for t in ts})
 
@@ -486,6 +492,8 @@ class Searcher:
         if exact or n_shards_total < max(two_phase_min_shards,
                                          4 * seed_shards):
             # pruning can't skip enough shards to pay for a second job
+            self.last_plan = {"mode": "exhaustive",
+                              "n_shards": n_shards_total}
             qspec = [(q, ts, k, None) for q, ts, k in live]
             if mask_df is None:
                 res = self._map_scan(seg, qspec, idf)
@@ -580,6 +588,9 @@ class Searcher:
             # the top-k clears θ and is fully scored). Seed results are
             # discarded, not unioned — their shards are rescored here, and
             # a union would duplicate (query, doc) rows.
+            self.last_plan = {"mode": "unrouted", "n_main": n_main,
+                              "n_shards": n_shards_total,
+                              "n_queries": len(live)}
             res = self._map_scan(seg, qspec1, idf)
             out = self._materialize(self._global_topk(res, live))
         elif mask_df is None and n_main <= _ROUTING_CAP:
@@ -595,6 +606,10 @@ class Searcher:
                 merged = seed_res.unionByName(main_res)
             else:
                 merged = seed_res
+            self.last_plan = {"mode": "routed", "n_main": n_main,
+                              "n_main_shards": len(routing),
+                              "n_shards": n_shards_total,
+                              "n_queries": len(live)}
             out = self._materialize(self._global_topk(merged, live))
         else:
             # mask present, or routing too large for the driver: ship

@@ -48,3 +48,46 @@ def test_choose_filter_mode(spark, searcher):
     assert mode_rare == "allow" and n_rare < 0.5 * searcher.n_docs
     mode_all, n_all = choose_filter_mode(docs, "doc_id >= 0", searcher.n_docs)
     assert mode_all == "deny" and n_all == searcher.n_docs
+
+
+def test_pruning_routes_selective_queries_at_high_shard_count(
+        spark, tiny_pdf, tiny_oracle, tmp_path):
+    """At > 64 shards the planner must still PRUNE for selective queries
+    (no exhaustive fallback exists at any shard count — planning is
+    distributed): rare-term queries route to a small fraction of shards,
+    and results stay rank-identical. Uniform hot batches instead pick
+    the unrouted pass. last_plan is the observability hook."""
+    from pdx_spark.config import IndexConfig
+    from pdx_spark.operators.indexer import Indexer
+    from pdx_spark.operators.searcher import Searcher
+    from pdx_spark.schemas import TRANSCRIPTS
+    from tests.test_engine import assert_rank_identical, collect_topk
+
+    path = str(tmp_path / "route_idx")
+    cfg = IndexConfig(block_size=8, docs_per_shard=4)
+    Indexer(spark, cfg=cfg).build(
+        spark.createDataFrame(tiny_pdf, schema=TRANSCRIPTS), path)
+    s = Searcher.load(spark, path)
+    n_shards = -(-s.n_docs // cfg.docs_per_shard)
+    assert n_shards > 64
+
+    # rare tail terms (df==1 in this corpus): routing touches only
+    # shards that actually hold the terms — a small fraction
+    from collections import Counter
+    df_count = Counter()
+    for txt in tiny_pdf["text"]:
+        df_count.update(set(txt.split()))
+    rare_terms = [t for t, c in df_count.items() if c == 1][:3]
+    assert len(rare_terms) >= 2
+    rare = [(0, rare_terms[0], 5), (1, " ".join(rare_terms[1:]), 5)]
+    res = s.search_batch(rare).persist()
+    assert s.last_plan["mode"] == "routed", s.last_plan
+    assert s.last_plan["n_main_shards"] < n_shards / 4, s.last_plan
+    for qid, qtext, k in rare:
+        assert_rank_identical(collect_topk(res, qid),
+                              tiny_oracle.topk(qtext, k), f"routed q{qid}")
+    res.unpersist()
+
+    # hot uniform batch: bounds beat theta everywhere -> unrouted pass
+    s.search_batch([(0, "w0000", 10), (1, "w0001", 10)])
+    assert s.last_plan["mode"] in ("unrouted", "routed")
