@@ -69,11 +69,10 @@ _THETA_GUARD = 1e-9  # float-monotonicity guard on upper-bound comparisons
 _ROUTING_CAP = 200_000
 
 # cogroup side-channel row kinds (one aux frame carries both because
-# applyInPandas cogroups exactly two frames)
+# applyInPandas cogroups exactly two frames); aux rows are
+# (shard long, kind int, id long, p int)
 _KIND_MASK = 0   # (shard, kind=0, id=doc_id, p): selection-vector row
 _KIND_QUERY = 1  # (shard, kind=1, id=query_id): per-shard query routing
-
-_AUX_SCHEMA = "shard long, kind int, id long, p int"
 
 
 def _shard_scorer(payload: dict, has_aux: bool):
