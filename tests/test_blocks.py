@@ -59,3 +59,83 @@ def test_gmax_is_true_block_max():
     dls = np.array([10, 20, 5, 100, 7, 9, 11, 13, 2, 80], dtype=np.int64)
     [b] = encode_blocks(doc_ids, tfs, dls, 0, "t", 128, 30.0, p)
     assert b["gmax"] == tfnorm_np(tfs, dls, 30.0, p).max()
+
+
+# ---- property: the shard scorer is exact under any θ -----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _shard_case(draw):
+    width = 64
+    n_terms = draw(st.integers(1, 5))
+    terms = [f"t{i}" for i in range(n_terms)]
+    postings = {}
+    for t in terms:
+        docs = draw(st.lists(st.integers(0, width - 1), min_size=1,
+                             max_size=20, unique=True))
+        postings[t] = sorted((d, draw(st.integers(1, 9))) for d in docs)
+    dls = {d: draw(st.integers(1, 50))
+           for d in {d for ps in postings.values() for d, _ in ps}}
+    q_terms = draw(st.lists(st.sampled_from(terms + ["absent"]),
+                            min_size=1, max_size=4, unique=True))
+    theta = draw(st.one_of(st.none(), st.floats(0.0, 3.0)))
+    k = draw(st.integers(1, 8))
+    return postings, dls, sorted(q_terms), theta, k
+
+
+@settings(max_examples=60, deadline=None)
+@given(_shard_case())
+def test_shard_scorer_property(case):
+    """For ANY postings/query/θ: every row the scorer returns carries the
+    EXACT BM25 score, rows are the per-shard top-k of the candidate set,
+    and no doc with true score > θ (i.e. a doc that could enter the
+    global top-k) is ever pruned — the exactness invariant behind
+    rank-identity."""
+    import numpy as np
+    import pandas as pd
+
+    from pdx_spark.config import BM25Params
+    from pdx_spark.functions.blocks import encode_blocks
+    from pdx_spark.functions.bm25 import tfnorm_np
+    from pdx_spark.operators.searcher import _shard_scorer
+
+    postings, dls, q_terms, theta, k = case
+    params, avgdl, n_docs = BM25Params(), 10.0, 1000
+    idf = {t: 1.0 + 0.1 * i for i, t in enumerate(sorted(postings))}
+    idf["absent"] = 0.5
+
+    rows = []
+    for t, ps in postings.items():
+        ids = np.array([d for d, _ in ps], dtype=np.int64)
+        tfs = np.array([tf for _, tf in ps], dtype=np.int64)
+        dl = np.array([dls[d] for d, _ in ps], dtype=np.int64)
+        rows.extend(encode_blocks(ids, tfs, dl, 0, t, 8, avgdl, params))
+    seg = pd.DataFrame(rows)
+
+    payload = {"queries": [(0, q_terms, k, theta)], "idf": idf,
+               "avgdl": avgdl, "k1": params.k1, "b": params.b,
+               "docs_per_shard": 64, "assigned": False, "has_mask": False,
+               "predicate_mode": None}
+    out = _shard_scorer(payload, has_aux=False)(seg)
+
+    # naive truth
+    truth = {}
+    for t in q_terms:
+        for d, tf in postings.get(t, []):
+            g = float(tfnorm_np(np.array([tf]), np.array([dls[d]]),
+                                avgdl, params)[0])
+            truth[d] = truth.get(d, 0.0) + idf[t] * g
+    got = {int(r.doc_id): float(r.score) for r in out.itertuples()}
+    for d, s in got.items():
+        assert abs(s - truth[d]) < 1e-9, (d, s, truth[d])  # exact scores
+    ranked = sorted(truth.items(), key=lambda x: (-x[1], x[0]))
+    if theta is None:
+        want = [d for d, s in ranked[:k] if s > 0]
+        assert sorted(got) == sorted(want)
+    else:
+        # no doc with true score > θ within the top-k may be pruned
+        must_have = [d for d, s in ranked[:k] if s > theta]
+        assert set(must_have) <= set(got), (must_have, got, theta)
