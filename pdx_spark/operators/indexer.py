@@ -49,14 +49,22 @@ def write_directory(seg: DataFrame, final: str) -> dict:
     with u8-quantized bound metadata (see schemas.DIRECTORY); atomic
     tmp -> rename commit. Returns the affine quantization params to
     record under manifest["dir_quant"][<dir>]."""
-    from pdx_spark.functions.quantize import (quantize_down_col,
-                                              quantize_up_col)
     rows = (seg.groupBy("term", "shard")
             .agg(F.count("*").cast("int").alias("n_blocks"),
                  F.sum("n").cast("long").alias("n_postings"),
                  F.max("max_tf").cast("int").alias("max_tf"),
-                 F.min("min_dl").cast("int").alias("min_dl"))
-            .persist())
+                 F.min("min_dl").cast("int").alias("min_dl")))
+    return write_directory_rows(rows, final)
+
+
+def write_directory_rows(rows: DataFrame, final: str) -> dict:
+    """Quantize + atomically write pre-aggregated directory rows
+    (term, shard, n_blocks, n_postings, max_tf, min_dl — the bound
+    columns may be int or already-dequantized doubles; ceil/floor
+    quantization keeps either admissible). Returns the affine params."""
+    from pdx_spark.functions.quantize import (quantize_down_col,
+                                              quantize_up_col)
+    rows = rows.persist()
     pr = rows.agg(F.min("max_tf").alias("tf_lo"), F.max("max_tf").alias("tf_hi"),
                   F.min("min_dl").alias("dl_lo"), F.max("min_dl").alias("dl_hi")
                   ).collect()[0]

@@ -49,7 +49,8 @@ from pdx_spark.operators import corpus as C
 from pdx_spark.operators.indexer import (_segment_encoder,
                                          _segment_encoder_docs,
                                          _write_manifest, read_manifest,
-                                         write_directory)
+                                         write_directory,
+                                         write_directory_rows)
 
 
 def _atomic_write(df: DataFrame, final: str, sort_cols: list[str] | None = None):
@@ -310,12 +311,14 @@ class Maintainer:
                       ["term", "shard", "block_id"])
 
         # bookkeeping: base dirs exclude the patched shards; delta segment
-        # dirs are folded into the patch entirely
+        # dirs are folded into the patch entirely. Old artifacts are
+        # deleted only AFTER the manifest commit — a crash in between
+        # leaves harmless orphans, never a manifest pointing at deleted
+        # dirs (same commit discipline as append).
+        doomed = list(m.get("deltas", []))
         excl = m.setdefault("seg_excludes", {})
         for d in m.get("segment_dirs", ["segments/base"]):
             excl[d] = sorted(set(excl.get(d, [])) | affected)
-        for d in m.get("deltas", []):
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         m["deltas"] = []
         m.setdefault("segment_dirs", ["segments/base"]).append(patch)
 
@@ -330,13 +333,109 @@ class Maintainer:
                 else old_dd.unionByName(tomb.select("doc_id")).distinct()
             _atomic_write(merged, dd_path)
             m["dead_docs"] = self.spark.read.parquet(dd_path).count()
-            shutil.rmtree(tomb_path, ignore_errors=True)
             m["tombstones"] = 0
+            doomed.append("tombstones")
 
         m["lineage"].append({"stage": "compact_targeted",
                              "shards": len(shards),
                              "sec": round(time.time() - t0, 2)})
         _write_manifest(self.path, m)
+        for d in doomed:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return m
+
+    # ---- minor (stats) compaction --------------------------------------------
+    def compact_stats(self) -> dict:
+        """LSM-style MINOR compaction: fold the accumulated term_stats /
+        directory / docs DELTA dirs into one dir each. No base rewrite,
+        no segment decode — cost is the total delta size. Keeps the
+        merged-at-read path count bounded for long-running streaming
+        ingest (the M3 cluster-health analog together with maintain())."""
+        t0 = time.time()
+        m = self.manifest
+        doomed: list[str] = []
+        gen = int(m.get("gen", 0))
+        m["gen"] = gen + 1
+
+        ts_deltas = m.get("ts_deltas", [])
+        if len(ts_deltas) > 1:
+            df = None
+            for d in ts_deltas:
+                part = self.spark.read.schema(schemas.TERM_STATS).parquet(
+                    os.path.join(self.path, d))
+                df = part if df is None else df.unionByName(part)
+            folded = (df.groupBy("term")
+                      .agg(F.sum("df").alias("df"),
+                           F.max("max_tf").cast("int").alias("max_tf"),
+                           F.max("gmax").alias("gmax")))
+            new_ts = f"term_stats_delta-m{gen}"
+            _atomic_write(folded, os.path.join(self.path, new_ts), ["term"])
+            doomed += ts_deltas
+            m["ts_deltas"] = [new_ts]
+
+        dir_deltas = m.get("dir_deltas", [])
+        if len(dir_deltas) > 1:
+            from pdx_spark.functions.quantize import dequantize_col
+            dq = m.get("dir_quant", {})
+            df = None
+            for d in dir_deltas:
+                p = dq.get(d, {"tf_base": 0.0, "tf_scale": 0.0,
+                               "dl_base": 0.0, "dl_scale": 0.0})
+                part = (self.spark.read.schema(schemas.DIRECTORY)
+                        .parquet(os.path.join(self.path, d))
+                        .select("term", "shard", "n_blocks", "n_postings",
+                                dequantize_col(F.col("max_tf_q"), p["tf_base"],
+                                               p["tf_scale"]).alias("max_tf"),
+                                dequantize_col(F.col("min_dl_q"), p["dl_base"],
+                                               p["dl_scale"]).alias("min_dl")))
+                df = part if df is None else df.unionByName(part)
+            # re-quantizing dequantized (stale-high/stale-low) bounds with
+            # the same ceil/floor discipline keeps them admissible
+            rows = (df.groupBy("term", "shard")
+                    .agg(F.sum("n_blocks").cast("int").alias("n_blocks"),
+                         F.sum("n_postings").cast("long").alias("n_postings"),
+                         F.max("max_tf").alias("max_tf"),
+                         F.min("min_dl").alias("min_dl")))
+            new_dir = f"directory_delta-m{gen}"
+            params = write_directory_rows(rows, os.path.join(self.path, new_dir))
+            doomed += dir_deltas
+            for d in dir_deltas:
+                m.get("dir_quant", {}).pop(d, None)
+            m["dir_deltas"] = [new_dir]
+            m.setdefault("dir_quant", {})[new_dir] = params
+
+        docs_dirs = m.get("docs_dirs", ["docs"])
+        if len(docs_dirs) > 2:  # base + more than one delta
+            df = None
+            for d in docs_dirs[1:]:
+                part = self.spark.read.schema(schemas.DOCS).parquet(
+                    os.path.join(self.path, d))
+                df = part if df is None else df.unionByName(part)
+            new_docs = f"docs_delta-m{gen}"
+            _atomic_write(df, os.path.join(self.path, new_docs))
+            doomed += docs_dirs[1:]
+            m["docs_dirs"] = [docs_dirs[0], new_docs]
+
+        m["lineage"].append({"stage": "compact_stats", "folded": len(doomed),
+                             "sec": round(time.time() - t0, 2)})
+        _write_manifest(self.path, m)
+        for d in doomed:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return m
+
+    def maintain(self, max_deltas: int = 16) -> dict:
+        """Health-check policy hook (CheckClusterHealth analog,
+        index.hpp:581-638): fold stat deltas when too many accumulated;
+        fold delta segments into a patch when too many. Called by
+        streaming ingest after each append so unbounded micro-batching
+        keeps bounded read paths."""
+        m = self.manifest
+        if (len(m.get("ts_deltas", [])) > max_deltas
+                or len(m.get("dir_deltas", [])) > max_deltas
+                or len(m.get("docs_dirs", [])) - 1 > max_deltas):
+            m = self.compact_stats()
+        if len(m.get("deltas", [])) > max_deltas:
+            m = self.compact_targeted()
         return m
 
     # ---- M3-M6: full compact ------------------------------------------------
@@ -368,25 +467,29 @@ class Maintainer:
         new_seg = (posts.withColumn("shard", self.cfg.shard_of_expr())
                    .repartition(n_encode, "shard")
                    .groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS))
+        # delta/patch/stat-delta dirs are deleted only AFTER the manifest
+        # commit (crash in between = harmless orphans); the base segment
+        # and docs swaps are the two documented brief destructive windows
+        # of the full rewrite (the reference's Save has the same shape).
+        doomed = (list(m.get("deltas", []))
+                  + [d for d in m.get("segment_dirs", [])
+                     if d != "segments/base"]
+                  + [d for d in m.get("docs_dirs", ["docs"]) if d != "docs"]
+                  + list(m.get("ts_deltas", []))
+                  + list(m.get("dir_deltas", []))
+                  + ["deltas", "tombstones", "dead_docs"])
         base = os.path.join(self.path, "segments", "base")
         tmp = os.path.join(self.path, "segments", "base.compact.tmp")
         new_seg.sortWithinPartitions("term", "shard", "block_id") \
                .write.mode("overwrite").parquet(tmp)
         shutil.rmtree(base)
         os.replace(tmp, base)
-        for d in m.get("deltas", []) + [d for d in m.get("segment_dirs", [])
-                                        if d != "segments/base"]:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        shutil.rmtree(os.path.join(self.path, "deltas"), ignore_errors=True)
 
         # docs: fold deltas + drop dead into a single base dir
         docs_tmp = os.path.join(self.path, "docs.compact.tmp")
         docs.write.mode("overwrite").parquet(docs_tmp)
-        for d in m.get("docs_dirs", ["docs"]):
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "docs"), ignore_errors=True)
         os.replace(docs_tmp, os.path.join(self.path, "docs"))
-        shutil.rmtree(tomb_path, ignore_errors=True)
-        shutil.rmtree(os.path.join(self.path, "dead_docs"), ignore_errors=True)
 
         # exact term stats + directory from the rewritten base
         fresh_seg = (self.spark.read.schema(schemas.SEGMENTS)
@@ -396,11 +499,7 @@ class Maintainer:
         _atomic_write(ts.coalesce(max(ts.sparkSession.sparkContext
                                       .defaultParallelism // 2, 1)),
                       os.path.join(self.path, "term_stats"), ["term"])
-        for d in m.get("ts_deltas", []):
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         dq = write_directory(fresh_seg, os.path.join(self.path, "directory"))
-        for d in m.get("dir_deltas", []):
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
         m.update(segment_dirs=["segments/base"], deltas=[], ts_deltas=[],
                  dir_deltas=[], docs_dirs=["docs"], seg_excludes={},
@@ -409,6 +508,8 @@ class Maintainer:
         m["lineage"].append({"stage": "compact",
                              "sec": round(time.time() - t0, 2)})
         _write_manifest(self.path, m)
+        for d in doomed:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return m
 
 

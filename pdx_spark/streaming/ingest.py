@@ -19,7 +19,8 @@ from pdx_spark.schemas import TRANSCRIPTS
 
 def stream_transcripts(spark, input_dir: str, index_path: str,
                        checkpoint_dir: str, trigger_once: bool = True,
-                       max_files_per_trigger: int = 16):
+                       max_files_per_trigger: int = 16,
+                       max_deltas: int = 16):
     """Start (and with trigger_once=True, run to completion) a streaming
     append pipeline. Returns the StreamingQuery."""
     from pdx_spark.operators.maintenance import Maintainer
@@ -34,7 +35,12 @@ def stream_transcripts(spark, input_dir: str, index_path: str,
         # batch_id makes the append idempotent: Structured Streaming
         # replays the last uncommitted micro-batch on restart, and
         # append() no-ops when batch_id <= manifest.last_batch_id
-        Maintainer(spark, index_path).append(batch_df, batch_id=batch_id)
+        mt = Maintainer(spark, index_path)
+        mt.append(batch_df, batch_id=batch_id)
+        # health policy: fold delta artifacts when too many accumulated
+        # (minor stats compaction / targeted segment patch) so unbounded
+        # micro-batching keeps a bounded merged-at-read path count
+        mt.maintain(max_deltas=max_deltas)
 
     writer = (src.writeStream.foreachBatch(on_batch)
               .option("checkpointLocation", checkpoint_dir))

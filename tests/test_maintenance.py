@@ -251,3 +251,42 @@ def test_targeted_compact(spark, tmp_path, corpus_pdfs):
         assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
                               f"full-compact q{qid}")
     res.unpersist()
+
+
+def test_minor_stats_compaction_policy(spark, tmp_path, corpus_pdfs):
+    """maintain() (the CheckClusterHealth analog): many micro-appends
+    accumulate delta artifacts; the policy folds them — stat deltas into
+    one dir each (no base rewrite), delta segments into a patch — and
+    search stays rank-identical to the full-corpus oracle."""
+    import os
+    full, head, tail = corpus_pdfs
+    t = tail.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    path = str(tmp_path / "idx_policy")
+    Indexer(spark, cfg=CFG).build(
+        spark.createDataFrame(head, schema=TRANSCRIPTS), path)
+    third = len(t) // 3
+    cuts = [t.iloc[:third], t.iloc[third:2 * third], t.iloc[2 * third:]]
+    for i, chunk in enumerate(cuts):
+        Maintainer(spark, path).append(
+            spark.createDataFrame(chunk, schema=TRANSCRIPTS), batch_id=i)
+    m0 = read_manifest(path)
+    assert len(m0["ts_deltas"]) == 3 and len(m0["deltas"]) == 3
+
+    ts_base_before = _file_state(os.path.join(path, "term_stats"))
+    m = Maintainer(spark, path).maintain(max_deltas=2)
+    assert len(m["ts_deltas"]) == 1 and len(m["dir_deltas"]) == 1
+    assert len(m["docs_dirs"]) == 2           # base + one folded delta
+    assert m["deltas"] == []                  # folded into a patch
+    assert any("patch" in d for d in m["segment_dirs"])
+    assert _file_state(os.path.join(path, "term_stats")) == ts_base_before
+
+    h = head.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = BM25Oracle(dict(enumerate(list(h["text"]) + list(t["text"]))))
+    searcher = Searcher.load(spark, path)
+    assert searcher.n_docs == oracle.n_docs
+    assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    for qid, qtext, k in QUERIES:
+        assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
+                              f"policy q{qid}")
+    res.unpersist()
