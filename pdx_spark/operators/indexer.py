@@ -27,8 +27,6 @@ completed chunks. Analog of Save/Restore (index.hpp:213-267).
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 
 import numpy as np
@@ -38,13 +36,20 @@ from pyspark.sql import functions as F
 
 from pdx_spark import schemas
 from pdx_spark.config import BM25Params, IndexConfig, manifest_params
+from pdx_spark.fs import IndexFS, LocalFS, index_fs, verify_single_rowgroup
 from pdx_spark.functions.blocks import encode_blocks
 from pdx_spark.operators import corpus as C
 
 MANIFEST = "manifest.json"
 
+# One row group per segment file is the map-scan exactness invariant
+# (fs.verify_single_rowgroup): files are tens of MB, so a 1 GiB parquet
+# row-group target guarantees the writer never splits one mid-file.
+PARQUET_BLOCK_SIZE = str(1 << 30)
 
-def write_directory(seg: DataFrame, final: str) -> dict:
+
+def write_directory(seg: DataFrame, final: str,
+                    fs: IndexFS | None = None) -> dict:
     """Aggregate segment block rows to per-(term, shard) directory rows
     with u8-quantized bound metadata (see schemas.DIRECTORY); atomic
     tmp -> rename commit. Returns the affine quantization params to
@@ -54,10 +59,11 @@ def write_directory(seg: DataFrame, final: str) -> dict:
                  F.sum("n").cast("long").alias("n_postings"),
                  F.max("max_tf").cast("int").alias("max_tf"),
                  F.min("min_dl").cast("int").alias("min_dl")))
-    return write_directory_rows(rows, final)
+    return write_directory_rows(rows, final, fs)
 
 
-def write_directory_rows(rows: DataFrame, final: str) -> dict:
+def write_directory_rows(rows: DataFrame, final: str,
+                         fs: IndexFS | None = None) -> dict:
     """Quantize + atomically write pre-aggregated directory rows
     (term, shard, n_blocks, n_postings, max_tf, min_dl — the bound
     columns may be int or already-dequantized doubles; ceil/floor
@@ -86,6 +92,7 @@ def write_directory_rows(rows: DataFrame, final: str) -> dict:
                         params["tf_scale"]).cast("short").alias("max_tf_q"),
         quantize_down_col(F.col("min_dl"), params["dl_base"],
                           params["dl_scale"]).cast("short").alias("min_dl_q"))
+    fs = fs or LocalFS()
     tmp = final + ".tmp"
     # range-partition by term: the planner's per-batch directory slice
     # (filter term.isin(query terms)) then prunes whole FILES/row groups,
@@ -94,23 +101,20 @@ def write_directory_rows(rows: DataFrame, final: str) -> dict:
      .sortWithinPartitions("term", "shard")
      .write.mode("overwrite").parquet(tmp))
     rows.unpersist()
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.replace(tmp, final)
+    fs.rename(tmp, final)
     return params
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
-    tmp = os.path.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+def _write_manifest(path: str, manifest: dict,
+                    fs: IndexFS | None = None) -> None:
+    fs = fs or LocalFS()
+    fs.write_text_atomic(IndexFS.join(path, MANIFEST),
+                         json.dumps(manifest, indent=1, sort_keys=True))
 
 
-def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+def read_manifest(path: str, fs: IndexFS | None = None) -> dict:
+    fs = fs or LocalFS()
+    return json.loads(fs.read_text(IndexFS.join(path, MANIFEST)))
 
 
 def _segment_encoder(cfg: IndexConfig, avgdl: float, params: BM25Params):
@@ -182,22 +186,23 @@ class Indexer:
     # -- paths -------------------------------------------------------------
     @staticmethod
     def _p(path, *parts):
-        return os.path.join(path, *parts)
+        return IndexFS.join(path, *parts)
 
     # -- build -------------------------------------------------------------
     def build(self, transcripts: DataFrame, path: str, *,
               n_chunks: int = 1, resume: bool = False) -> dict:
         """Build a full index at `path`; returns the manifest. `resume=True`
-        continues a partial build (completed stages/chunks are skipped)."""
+        continues a partial build (completed stages/chunks are skipped).
+        `path` may be any Spark-reachable URI (file:, hdfs:, s3a:, ...) —
+        all side-artifact I/O routes through the pdx_spark.fs seam."""
         t0 = time.time()
-        os.makedirs(path, exist_ok=True)
-        manifest_path = os.path.join(path, MANIFEST)
-        if resume and os.path.exists(manifest_path):
-            manifest = read_manifest(path)
+        fs = self.fs = index_fs(self.spark, path)
+        manifest_path = self._p(path, MANIFEST)
+        if resume and fs.exists(manifest_path):
+            manifest = read_manifest(path, fs=fs)
         else:
-            if os.path.exists(manifest_path):
-                shutil.rmtree(path)
-                os.makedirs(path, exist_ok=True)
+            if fs.exists(manifest_path):
+                fs.delete(path)
             manifest = {
                 "format_version": self.cfg.format_version,
                 "params": manifest_params(self.params, self.cfg),
@@ -207,7 +212,7 @@ class Indexer:
                 "seg_excludes": {}, "dead_docs": 0, "last_batch_id": -1,
                 "gen": 0, "lineage": [],
             }
-            _write_manifest(path, manifest)
+            _write_manifest(path, manifest, fs=fs)
 
         # ---- stage A: docs + stats (one pass over the corpus) ----
         docs_path = self._p(path, "docs")
@@ -253,12 +258,14 @@ class Indexer:
             timings["term_stats"] = round(time.time() - tt, 2)
             self._posts_cache = dp
 
+            # next_doc_id: the id-allocation high-water mark appends read
+            # instead of scanning every docs dir for max(doc_id)
             manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl,
-                            sum_dl=sum_dl)
+                            sum_dl=sum_dl, next_doc_id=n_docs)
             manifest["lineage"].append(
                 {"stage": "docs+stats", "rows": n_docs,
                  "sec": round(time.time() - t0, 2), "timings": timings})
-            _write_manifest(path, manifest)
+            _write_manifest(path, manifest, fs=fs)
 
         n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
 
@@ -266,7 +273,7 @@ class Indexer:
         if manifest["stage"] == "segments":
             posts = getattr(self, "_posts_cache", None)
             if posts is None:
-                if os.path.exists(self._p(path, "postings_tmp")):
+                if fs.exists(self._p(path, "postings_tmp")):
                     posts = self.spark.read.parquet(self._p(path, "postings_tmp"))
                 else:
                     # resuming a single-chunk build: recompute postings from
@@ -296,11 +303,9 @@ class Indexer:
                 final = self._p(path, "segments", "base", f"chunk-{chunk}")
                 tmp = final + ".tmp"
                 seg.sortWithinPartitions("term", "shard", "block_id") \
-                   .write.mode("overwrite").parquet(tmp)
-                if os.path.exists(final):
-                    shutil.rmtree(final)
-                os.makedirs(os.path.dirname(final), exist_ok=True)
-                os.replace(tmp, final)
+                   .write.option("parquet.block.size", PARQUET_BLOCK_SIZE) \
+                   .mode("overwrite").parquet(tmp)
+                fs.rename(tmp, final)
                 seg_read = self.spark.read.parquet(final)
                 stats = seg_read.agg(
                     F.count("*").alias("blocks"),
@@ -309,10 +314,14 @@ class Indexer:
                     "status": "done", "blocks": int(stats["blocks"]),
                     "postings": int(stats["postings"] or 0),
                     "sec": round(time.time() - tc, 2)}
-                _write_manifest(path, manifest)
+                _write_manifest(path, manifest, fs=fs)
             manifest["segment_dirs"] = ["segments/base"]
+            # writer-side proof of the map-scan invariant (footer-only
+            # walk); readers trust this flag instead of re-walking
+            manifest["seg_single_rg"] = verify_single_rowgroup(
+                fs, "segments/base", root=path)
             manifest["stage"] = "directory"
-            _write_manifest(path, manifest)
+            _write_manifest(path, manifest, fs=fs)
 
         # ---- stage C: directory (2-level routing, L0 analog; u8-
         # quantized bound metadata — the SQ8 half, scalar.hpp:60-106) ----
@@ -320,9 +329,9 @@ class Indexer:
             seg = (self.spark.read.schema(schemas.SEGMENTS)
                    .option("recursiveFileLookup", "true")
                    .parquet(self._p(path, "segments", "base")))
-            params = write_directory(seg, self._p(path, "directory"))
+            params = write_directory(seg, self._p(path, "directory"), fs)
             manifest.setdefault("dir_quant", {})["directory"] = params
-            shutil.rmtree(self._p(path, "postings_tmp"), ignore_errors=True)
+            fs.delete(self._p(path, "postings_tmp"))
             cached = getattr(self, "_posts_cache", None)
             if cached is not None:
                 cached.unpersist()
@@ -330,6 +339,6 @@ class Indexer:
             manifest["stage"] = "complete"
             manifest["lineage"].append(
                 {"stage": "build_complete", "sec": round(time.time() - t0, 2)})
-            _write_manifest(path, manifest)
+            _write_manifest(path, manifest, fs=fs)
 
         return manifest

@@ -35,8 +35,6 @@ Reference analogs (only PDXTreeIndex supports maintenance there,
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 
 import pandas as pd
@@ -45,33 +43,49 @@ from pyspark.sql import functions as F
 
 from pdx_spark import schemas
 from pdx_spark.config import BM25Params, IndexConfig
+from pdx_spark.fs import IndexFS, index_fs, verify_single_rowgroup
 from pdx_spark.operators import corpus as C
-from pdx_spark.operators.indexer import (_segment_encoder,
+from pdx_spark.operators.indexer import (PARQUET_BLOCK_SIZE,
+                                         _segment_encoder,
                                          _segment_encoder_docs,
                                          _write_manifest, read_manifest,
                                          write_directory,
                                          write_directory_rows)
 
 
-def _atomic_write(df: DataFrame, final: str, sort_cols: list[str] | None = None):
-    """tmp-dir -> rename commit protocol (same as the indexer's chunks)."""
+def _atomic_write(df: DataFrame, final: str, sort_cols: list[str] | None = None,
+                  fs: IndexFS | None = None, segments: bool = False):
+    """tmp-dir -> rename commit protocol (same as the indexer's chunks).
+    segments=True also pins the one-row-group-per-file invariant the
+    map-scan needs (parquet.block.size >> file size)."""
+    from pdx_spark.fs import LocalFS
+    fs = fs or LocalFS()
     tmp = final + ".tmp"
     w = df.sortWithinPartitions(*sort_cols) if sort_cols else df
-    w.write.mode("overwrite").parquet(tmp)
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.replace(tmp, final)
+    w = w.write.mode("overwrite")
+    if segments:
+        w = w.option("parquet.block.size", PARQUET_BLOCK_SIZE)
+    w.parquet(tmp)
+    fs.rename(tmp, final)
 
 
 class Maintainer:
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
-        self.manifest = read_manifest(path)
+        self.fs = index_fs(spark, path)
+        self.manifest = read_manifest(path, fs=self.fs)
+        fv = self.manifest.get("format_version", 1)
+        if fv != IndexConfig.format_version:
+            raise ValueError(
+                f"index at {path} has format_version={fv}, this engine "
+                f"maintains v{IndexConfig.format_version}; rebuild it")
         p = self.manifest["params"]
         self.params = BM25Params(**p["bm25"])
         self.cfg = IndexConfig(**p["layout"])
+
+    def _p(self, *parts):
+        return IndexFS.join(self.path, *parts)
 
     # ---- shared readers (mirror Searcher's merged views) --------------------
     def _docs_raw(self):
@@ -80,8 +94,7 @@ class Maintainer:
         reborn doc)."""
         df = None
         for d in self.manifest.get("docs_dirs", ["docs"]):
-            part = self.spark.read.schema(schemas.DOCS).parquet(
-                os.path.join(self.path, d))
+            part = self.spark.read.schema(schemas.DOCS).parquet(self._p(d))
             df = part if df is None else df.unionByName(part)
         return df
 
@@ -91,9 +104,15 @@ class Maintainer:
         return df if dead is None else df.join(dead, "doc_id", "left_anti")
 
     def _dead_docs(self):
-        p = os.path.join(self.path, "dead_docs")
-        if self.manifest.get("dead_docs", 0) > 0 and os.path.exists(p):
-            return self.spark.read.parquet(p).select("doc_id")
+        if self.manifest.get("dead_docs", 0) > 0:
+            d = self.manifest.get("dead_dir", "dead_docs")
+            return self.spark.read.parquet(self._p(d)).select("doc_id")
+        return None
+
+    def _tombstones(self):
+        if self.manifest.get("tombstones", 0) > 0:
+            d = self.manifest.get("tomb_dir", "tombstones")
+            return self.spark.read.parquet(self._p(d))
         return None
 
     def _segments(self):
@@ -104,7 +123,7 @@ class Maintainer:
         for d in dirs:
             part = (self.spark.read.schema(schemas.SEGMENTS)
                     .option("recursiveFileLookup", "true")
-                    .parquet(os.path.join(self.path, d)))
+                    .parquet(self._p(d)))
             ex = excl.get(d)
             if ex:
                 part = part.filter(~F.col("shard").isin([int(s) for s in ex]))
@@ -121,6 +140,16 @@ class Maintainer:
                                F.sum("dl").alias("s")).collect()[0]
         return int(row["n"]), int(row["s"] or 0)
 
+    def _next_doc_id(self) -> int:
+        """Id-allocation high-water mark from the manifest — O(1). Legacy
+        manifests (pre next_doc_id) pay one max-scan, then carry it
+        forward; this was the hidden O(corpus) step in every append."""
+        m = self.manifest
+        if "next_doc_id" in m:
+            return int(m["next_doc_id"])
+        row = self._docs_raw().agg(F.max("doc_id")).collect()[0][0]
+        return int(row) + 1 if row is not None else 0
+
     # ---- M1: append ---------------------------------------------------------
     def append(self, transcripts: DataFrame, batch_id: int | None = None) -> dict:
         """Append new turns; O(delta) work, crash-safe, idempotent under
@@ -130,59 +159,72 @@ class Maintainer:
         if batch_id is not None and batch_id <= m.get("last_batch_id", -1):
             return m  # replayed micro-batch: already committed
         t0 = time.time()
+        timings: dict[str, float] = {}
         # monotone artifact generation counter — list lengths would reuse
         # names after compact_targeted() resets `deltas`
         gen = int(m.get("gen", 0))
         m["gen"] = gen + 1
-        max_id = self._docs_raw().agg(F.max("doc_id")).collect()[0][0]
-        next_id = int(max_id) + 1 if max_id is not None else 0
+        next_id = self._next_doc_id()  # O(1) manifest read, never a scan
 
+        tt = time.time()
         with_ids = C.assign_doc_ids(transcripts)
         with_ids = with_ids.withColumn("doc_id",
                                        F.col("doc_id") + F.lit(int(next_id)))
         with_ids.persist()
         dp = C.doc_postings(with_ids).persist()
-
-        # 1) docs delta — staged; unreferenced until the manifest commit
-        docs_delta = f"docs_delta-{gen}"
-        new_docs = C.build_docs(with_ids, dp)
-        _atomic_write(new_docs, os.path.join(self.path, docs_delta))
-        drow = (self.spark.read.schema(schemas.DOCS)
-                .parquet(os.path.join(self.path, docs_delta))
-                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-                .collect()[0])
+        # delta stats straight off the cached postings — no write-then-
+        # re-read round trip (the batch is materialized exactly once)
+        drow = dp.agg(F.count("*").alias("n"),
+                      F.sum("dl").alias("s")).collect()[0]
         n_new, dl_new = int(drow["n"]), int(drow["s"] or 0)
         n_old, sum_old = self._stats()
         n_docs, sum_dl = n_old + n_new, sum_old + dl_new
         avgdl = sum_dl / n_docs if n_docs else 0.0
+        timings["tokenize+stats"] = round(time.time() - tt, 2)
+
+        # 1) docs delta — staged; unreferenced until the manifest commit
+        tt = time.time()
+        docs_delta = f"docs_delta-{gen}"
+        new_docs = C.build_docs(with_ids, dp)
+        _atomic_write(new_docs, self._p(docs_delta), fs=self.fs)
+        timings["docs"] = round(time.time() - tt, 2)
 
         # 2) delta segment: blocks store (tf, dl); pruning bounds are
         # recomputed from (max_tf, min_dl) at query time, so avgdl drift
-        # cannot over-prune (see searcher._shard_scorer).
+        # cannot over-prune (see searcher._shard_scorer). The encoded
+        # frame is cached so the directory delta (4) reads it from
+        # memory instead of decoding parquet again.
+        tt = time.time()
         delta_name = f"deltas/delta-{gen}"
         posts = dp.withColumn("shard", self.cfg.shard_of_expr())
         enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
-        seg = posts.groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS)
-        _atomic_write(seg, os.path.join(self.path, delta_name),
-                      ["term", "shard", "block_id"])
+        seg = (posts.groupBy("shard")
+               .applyInPandas(enc, schema=schemas.SEGMENTS).persist())
+        _atomic_write(seg, self._p(delta_name), ["term", "shard", "block_id"],
+                      fs=self.fs, segments=True)
+        single_rg = verify_single_rowgroup(self.fs, delta_name,
+                                           root=self.path)
+        timings["segments"] = round(time.time() - tt, 2)
 
         # 3) per-term stats DELTA (merged at read — base never rewritten)
+        tt = time.time()
         ts_delta = f"term_stats_delta-{gen}"
         delta_ts = C.term_stats_from_doc_postings(dp, avgdl, self.params) \
             .select("term", F.col("df").cast("long").alias("df"),
                     F.col("max_tf").cast("int").alias("max_tf"), "gmax")
-        _atomic_write(delta_ts, os.path.join(self.path, ts_delta), ["term"])
+        _atomic_write(delta_ts, self._p(ts_delta), ["term"], fs=self.fs)
+        timings["term_stats"] = round(time.time() - tt, 2)
 
-        # 4) directory DELTA from the new segment only (u8-quantized with
-        # its OWN affine params — delta values can exceed the base range)
+        # 4) directory DELTA from the cached delta segment (u8-quantized
+        # with its OWN affine params — delta values can exceed base range)
+        tt = time.time()
         dir_delta = f"directory_delta-{gen}"
-        seg_read = (self.spark.read.schema(schemas.SEGMENTS)
-                    .option("recursiveFileLookup", "true")
-                    .parquet(os.path.join(self.path, delta_name)))
-        dq = write_directory(seg_read, os.path.join(self.path, dir_delta))
+        dq = write_directory(seg, self._p(dir_delta), self.fs)
+        timings["directory"] = round(time.time() - tt, 2)
 
         with_ids.unpersist()
         dp.unpersist()
+        seg.unpersist()
 
         # 5) manifest commit — the single atomic visibility point
         m.setdefault("deltas", []).append(delta_name)
@@ -191,12 +233,14 @@ class Maintainer:
         m.setdefault("dir_deltas", []).append(dir_delta)
         m.setdefault("dir_quant", {})[dir_delta] = dq
         m["n_docs"], m["sum_dl"], m["avgdl"] = n_docs, sum_dl, avgdl
+        m["next_doc_id"] = next_id + n_new
+        m["seg_single_rg"] = bool(m.get("seg_single_rg", False) and single_rg)
         if batch_id is not None:
             m["last_batch_id"] = int(batch_id)
         m["lineage"].append({"stage": "append", "new_docs": n_new,
-                             "batch_id": batch_id,
+                             "batch_id": batch_id, "timings": timings,
                              "sec": round(time.time() - t0, 2)})
-        _write_manifest(self.path, m)
+        _write_manifest(self.path, m, fs=self.fs)
         return m
 
     # ---- M2: delete ---------------------------------------------------------
@@ -214,10 +258,9 @@ class Maintainer:
         else:
             dead = docs.join(doc_keys, ["conv_id", "turn_idx"], "left_semi") \
                        .select("doc_id")
-        tomb_path = os.path.join(self.path, "tombstones")
-        old = None
-        if os.path.exists(tomb_path) and m.get("tombstones", 0) > 0:
-            old = self.spark.read.parquet(tomb_path).select("doc_id")
+        old = self._tombstones()
+        if old is not None:
+            old = old.select("doc_id")
         new_dead = dead if old is None else dead.join(old, "doc_id", "left_anti")
         dd = self._dead_docs()  # ids already compacted away: postings gone
         if dd is not None:
@@ -252,19 +295,31 @@ class Maintainer:
         gen = int(m.get("gen", 0))
         m["gen"] = gen + 1
         ts_delta = f"term_stats_delta-d{gen}"
-        _atomic_write(dec, os.path.join(self.path, ts_delta), ["term"])
+        _atomic_write(dec, self._p(ts_delta), ["term"], fs=self.fs)
 
+        # merged tombstones land in a GENERATION-NAMED dir that becomes
+        # visible only via the manifest commit below — a crash between
+        # this write and the commit leaves the committed tombstone set
+        # untouched, so a retried delete() recomputes new_dead against
+        # the LAST COMMITTED state and the stat decrements are never lost
+        # (append's staging discipline, applied to delete)
+        tomb_dir = f"tombstones-{gen}"
         merged = new_dead if old is None else old.unionByName(new_dead)
-        _atomic_write(merged.select("doc_id"), tomb_path)
-        n_tomb = self.spark.read.parquet(tomb_path).count()
+        _atomic_write(merged.select("doc_id"), self._p(tomb_dir), fs=self.fs)
+        n_tomb = self.spark.read.parquet(self._p(tomb_dir)).count()
         new_dead.unpersist()
 
+        old_tomb = m.get("tomb_dir", "tombstones") \
+            if m.get("tombstones", 0) > 0 else None
         m["tombstones"] = int(n_tomb)
+        m["tomb_dir"] = tomb_dir
         m.setdefault("ts_deltas", []).append(ts_delta)
         m["n_docs"], m["sum_dl"], m["avgdl"] = n_docs, sum_dl, avgdl
         m["lineage"].append({"stage": "delete", "tombstones": int(n_tomb),
                              "sec": round(time.time() - t0, 2)})
-        _write_manifest(self.path, m)
+        _write_manifest(self.path, m, fs=self.fs)
+        if old_tomb and old_tomb != tomb_dir:
+            self.fs.delete(self._p(old_tomb))  # post-commit cleanup
         return m
 
     # ---- M4-M6: targeted compaction ----------------------------------------
@@ -277,16 +332,13 @@ class Maintainer:
         stale-high directory bounds remain admissible."""
         t0 = time.time()
         m = self.manifest
-        tomb_path = os.path.join(self.path, "tombstones")
-        tomb = (self.spark.read.parquet(tomb_path)
-                if m.get("tombstones", 0) > 0 and os.path.exists(tomb_path)
-                else None)
+        tomb = self._tombstones()
 
         affected: set[int] = set()
         for d in m.get("deltas", []):
             part = (self.spark.read.schema(schemas.SEGMENTS)
                     .option("recursiveFileLookup", "true")
-                    .parquet(os.path.join(self.path, d)))
+                    .parquet(self._p(d)))
             affected |= {int(r[0]) for r in part.select("shard").distinct().collect()}
         if tomb is not None:
             affected |= {int(r[0]) for r in tomb.select(
@@ -307,8 +359,9 @@ class Maintainer:
         patch = f"segments/patch-{gen}"
         new_seg = (posts.withColumn("shard", self.cfg.shard_of_expr())
                    .groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS))
-        _atomic_write(new_seg, os.path.join(self.path, patch),
-                      ["term", "shard", "block_id"])
+        _atomic_write(new_seg, self._p(patch), ["term", "shard", "block_id"],
+                      fs=self.fs, segments=True)
+        single_rg = verify_single_rowgroup(self.fs, patch, root=self.path)
 
         # bookkeeping: base dirs exclude the patched shards; delta segment
         # dirs are folded into the patch entirely. Old artifacts are
@@ -323,25 +376,29 @@ class Maintainer:
         m.setdefault("segment_dirs", ["segments/base"]).append(patch)
 
         # tombstoned postings are gone from segments; keep the doc-level
-        # dead list so docs() (predicate masks, key lookups) stays live-only
+        # dead list so docs() (predicate masks, key lookups) stays
+        # live-only. Gen-named + manifest pointer = same staging
+        # discipline as tombstones/deltas (no pre-commit overwrite).
         if tomb is not None:
-            dd_path = os.path.join(self.path, "dead_docs")
-            old_dd = (self.spark.read.parquet(dd_path).select("doc_id")
-                      if m.get("dead_docs", 0) > 0 and os.path.exists(dd_path)
-                      else None)
+            dd_dir = f"dead_docs-{gen}"
+            old_dd = self._dead_docs()
             merged = tomb.select("doc_id") if old_dd is None \
                 else old_dd.unionByName(tomb.select("doc_id")).distinct()
-            _atomic_write(merged, dd_path)
-            m["dead_docs"] = self.spark.read.parquet(dd_path).count()
+            _atomic_write(merged, self._p(dd_dir), fs=self.fs)
+            if m.get("dead_docs", 0) > 0:
+                doomed.append(m.get("dead_dir", "dead_docs"))
+            m["dead_docs"] = self.spark.read.parquet(self._p(dd_dir)).count()
+            m["dead_dir"] = dd_dir
+            doomed.append(m.get("tomb_dir", "tombstones"))
             m["tombstones"] = 0
-            doomed.append("tombstones")
 
+        m["seg_single_rg"] = bool(m.get("seg_single_rg", False) and single_rg)
         m["lineage"].append({"stage": "compact_targeted",
                              "shards": len(shards),
                              "sec": round(time.time() - t0, 2)})
-        _write_manifest(self.path, m)
+        _write_manifest(self.path, m, fs=self.fs)
         for d in doomed:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            self.fs.delete(self._p(d))
         return m
 
     # ---- minor (stats) compaction --------------------------------------------
@@ -362,14 +419,14 @@ class Maintainer:
             df = None
             for d in ts_deltas:
                 part = self.spark.read.schema(schemas.TERM_STATS).parquet(
-                    os.path.join(self.path, d))
+                    self._p(d))
                 df = part if df is None else df.unionByName(part)
             folded = (df.groupBy("term")
                       .agg(F.sum("df").alias("df"),
                            F.max("max_tf").cast("int").alias("max_tf"),
                            F.max("gmax").alias("gmax")))
             new_ts = f"term_stats_delta-m{gen}"
-            _atomic_write(folded, os.path.join(self.path, new_ts), ["term"])
+            _atomic_write(folded, self._p(new_ts), ["term"], fs=self.fs)
             doomed += ts_deltas
             m["ts_deltas"] = [new_ts]
 
@@ -382,7 +439,7 @@ class Maintainer:
                 p = dq.get(d, {"tf_base": 0.0, "tf_scale": 0.0,
                                "dl_base": 0.0, "dl_scale": 0.0})
                 part = (self.spark.read.schema(schemas.DIRECTORY)
-                        .parquet(os.path.join(self.path, d))
+                        .parquet(self._p(d))
                         .select("term", "shard", "n_blocks", "n_postings",
                                 dequantize_col(F.col("max_tf_q"), p["tf_base"],
                                                p["tf_scale"]).alias("max_tf"),
@@ -397,7 +454,7 @@ class Maintainer:
                          F.max("max_tf").alias("max_tf"),
                          F.min("min_dl").alias("min_dl")))
             new_dir = f"directory_delta-m{gen}"
-            params = write_directory_rows(rows, os.path.join(self.path, new_dir))
+            params = write_directory_rows(rows, self._p(new_dir), self.fs)
             doomed += dir_deltas
             for d in dir_deltas:
                 m.get("dir_quant", {}).pop(d, None)
@@ -409,18 +466,18 @@ class Maintainer:
             df = None
             for d in docs_dirs[1:]:
                 part = self.spark.read.schema(schemas.DOCS).parquet(
-                    os.path.join(self.path, d))
+                    self._p(d))
                 df = part if df is None else df.unionByName(part)
             new_docs = f"docs_delta-m{gen}"
-            _atomic_write(df, os.path.join(self.path, new_docs))
+            _atomic_write(df, self._p(new_docs), fs=self.fs)
             doomed += docs_dirs[1:]
             m["docs_dirs"] = [docs_dirs[0], new_docs]
 
         m["lineage"].append({"stage": "compact_stats", "folded": len(doomed),
                              "sec": round(time.time() - t0, 2)})
-        _write_manifest(self.path, m)
+        _write_manifest(self.path, m, fs=self.fs)
         for d in doomed:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            self.fs.delete(self._p(d))
         return m
 
     def maintain(self, max_deltas: int = 16) -> dict:
@@ -442,12 +499,20 @@ class Maintainer:
     def compact(self) -> dict:
         """Full rewrite: decode all live postings (every segment dir minus
         tombstones) and rebuild segments/docs/stats/directory from them;
-        resets every delta/patch/exclude/dead-doc artifact."""
+        resets every delta/patch/exclude/dead-doc artifact.
+
+        Crash-safe end to end: the new base lands in GENERATION-NAMED
+        dirs (segments/base-{gen}, docs-{gen}) and the manifest pointer
+        flip is the only commit; old dirs are deleted after. There is no
+        instant at which the manifest references deleted or half-written
+        data (closes the rmtree-then-rename window the reference's Save
+        also has, index.hpp:213-267 — acceptable there, not at 1000
+        executors)."""
         t0 = time.time()
         m = self.manifest
-        tomb_path = os.path.join(self.path, "tombstones")
-        tomb = (self.spark.read.parquet(tomb_path)
-                if os.path.exists(tomb_path) else None)
+        gen = int(m.get("gen", 0))
+        m["gen"] = gen + 1
+        tomb = self._tombstones()
 
         posts = _decode_segments_to_postings(self._segments())
         if tomb is not None:
@@ -467,49 +532,56 @@ class Maintainer:
         new_seg = (posts.withColumn("shard", self.cfg.shard_of_expr())
                    .repartition(n_encode, "shard")
                    .groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS))
-        # delta/patch/stat-delta dirs are deleted only AFTER the manifest
-        # commit (crash in between = harmless orphans); the base segment
-        # and docs swaps are the two documented brief destructive windows
-        # of the full rewrite (the reference's Save has the same shape).
+        # every old artifact is deleted only AFTER the manifest commit
+        # (a crash in between leaves harmless orphans, never a manifest
+        # pointing at missing data)
         doomed = (list(m.get("deltas", []))
-                  + [d for d in m.get("segment_dirs", [])
-                     if d != "segments/base"]
-                  + [d for d in m.get("docs_dirs", ["docs"]) if d != "docs"]
+                  + list(m.get("segment_dirs", ["segments/base"]))
+                  + list(m.get("docs_dirs", ["docs"]))
                   + list(m.get("ts_deltas", []))
                   + list(m.get("dir_deltas", []))
-                  + ["deltas", "tombstones", "dead_docs"])
-        base = os.path.join(self.path, "segments", "base")
-        tmp = os.path.join(self.path, "segments", "base.compact.tmp")
-        new_seg.sortWithinPartitions("term", "shard", "block_id") \
-               .write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(base)
-        os.replace(tmp, base)
+                  + ["deltas"])
+        if m.get("tombstones", 0) > 0:
+            doomed.append(m.get("tomb_dir", "tombstones"))
+        if m.get("dead_docs", 0) > 0:
+            doomed.append(m.get("dead_dir", "dead_docs"))
+        base = f"segments/base-{gen}"
+        _atomic_write(new_seg, self._p(base), ["term", "shard", "block_id"],
+                      fs=self.fs, segments=True)
+        single_rg = verify_single_rowgroup(self.fs, base, root=self.path)
 
-        # docs: fold deltas + drop dead into a single base dir
-        docs_tmp = os.path.join(self.path, "docs.compact.tmp")
-        docs.write.mode("overwrite").parquet(docs_tmp)
-        shutil.rmtree(os.path.join(self.path, "docs"), ignore_errors=True)
-        os.replace(docs_tmp, os.path.join(self.path, "docs"))
+        # docs: fold deltas + drop dead into a single gen-named dir
+        docs_dir = f"docs-{gen}"
+        _atomic_write(docs, self._p(docs_dir), fs=self.fs)
 
         # exact term stats + directory from the rewritten base
         fresh_seg = (self.spark.read.schema(schemas.SEGMENTS)
-                     .option("recursiveFileLookup", "true").parquet(base))
+                     .option("recursiveFileLookup", "true")
+                     .parquet(self._p(base)))
         fresh_posts = _decode_segments_to_postings(fresh_seg)
         ts = C.term_stats(fresh_posts, n_docs, avgdl, self.params)
+        ts_base, dir_base = f"term_stats-{gen}", f"directory-{gen}"
         _atomic_write(ts.coalesce(max(ts.sparkSession.sparkContext
                                       .defaultParallelism // 2, 1)),
-                      os.path.join(self.path, "term_stats"), ["term"])
-        dq = write_directory(fresh_seg, os.path.join(self.path, "directory"))
+                      self._p(ts_base), ["term"], fs=self.fs)
+        dq = write_directory(fresh_seg, self._p(dir_base), self.fs)
+        doomed += [m.get("ts_base", "term_stats"),
+                   m.get("dir_base", "directory")]
 
-        m.update(segment_dirs=["segments/base"], deltas=[], ts_deltas=[],
-                 dir_deltas=[], docs_dirs=["docs"], seg_excludes={},
-                 tombstones=0, dead_docs=0, dir_quant={"directory": dq},
-                 n_docs=n_docs, sum_dl=sum_dl, avgdl=avgdl)
+        m.update(segment_dirs=[base], deltas=[], ts_deltas=[],
+                 dir_deltas=[], docs_dirs=[docs_dir], seg_excludes={},
+                 tombstones=0, dead_docs=0, dir_quant={dir_base: dq},
+                 n_docs=n_docs, sum_dl=sum_dl, avgdl=avgdl,
+                 seg_single_rg=bool(single_rg),
+                 ts_base=ts_base, dir_base=dir_base)
+        m.pop("tomb_dir", None)
+        m.pop("dead_dir", None)
         m["lineage"].append({"stage": "compact",
                              "sec": round(time.time() - t0, 2)})
-        _write_manifest(self.path, m)
+        _write_manifest(self.path, m, fs=self.fs)
         for d in doomed:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            if d not in (base, docs_dir):
+                self.fs.delete(self._p(d))
         return m
 
 

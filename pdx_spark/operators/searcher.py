@@ -48,8 +48,6 @@ block bytes through Arrow/numpy) — see BENCH.md's bandwidth ceiling.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -57,6 +55,7 @@ from pyspark.sql import functions as F
 
 from pdx_spark import schemas
 from pdx_spark.config import SEED, BM25Params, IndexConfig
+from pdx_spark.fs import index_fs, verify_single_rowgroup
 from pdx_spark.functions.blocks import decode_block
 from pdx_spark.functions.bm25 import idf_np, tfnorm_col, tfnorm_np
 from pdx_spark.functions.tokenize import tokenize_py
@@ -267,6 +266,11 @@ def _partition_scorer(payload: dict):
     (10s of MB) stay far below spark.sql.files.maxPartitionBytes; load()
     asserts this invariant."""
     routing = payload.get("routing")
+    # anti_routing: shard -> set(query_id) to SKIP (already scored in the
+    # seed phase) — lets the unrouted fallback reuse seed results instead
+    # of rescoring seed shards (bounded: <= seed_shards x Q pairs)
+    anti = payload.get("anti_routing")
+    all_qids = {q for q, _, _, _ in payload["queries"]}
     kmap = {q: k for q, _, k, _ in payload["queries"]}
     base_fn = _shard_scorer(dict(payload, assigned=False), has_aux=False)
     score_shard = base_fn.score_shard
@@ -278,8 +282,14 @@ def _partition_scorer(payload: dict):
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
         parts = []
         for _, grp in pdf.groupby("shard", sort=False):
+            sh = int(grp["shard"].iloc[0])
             if routing is not None:
-                qids = routing.get(int(grp["shard"].iloc[0]))
+                qids = routing.get(sh)
+                if not qids:
+                    continue
+                out = score_shard(grp, None, assigned_override=qids)
+            elif anti is not None and sh in anti:
+                qids = all_qids - anti[sh]
                 if not qids:
                     continue
                 out = score_shard(grp, None, assigned_override=qids)
@@ -319,41 +329,51 @@ class Searcher:
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
-        self.manifest = read_manifest(path)
+        self.fs = index_fs(spark, path)
+        self.manifest = read_manifest(path, fs=self.fs)
+        fv = self.manifest.get("format_version", 1)
+        if fv != IndexConfig.format_version:
+            # v1 indexes lack the u8-quantized directory columns; loading
+            # one silently collapses every pruning bound to 0 — refuse
+            # loudly instead (the reference factory's format tag role)
+            raise ValueError(
+                f"index at {path} has format_version={fv}, this engine "
+                f"reads v{IndexConfig.format_version}; rebuild the index "
+                f"(Indexer.build) or compact it with a matching engine")
         p = self.manifest["params"]
         self.params = BM25Params(**p["bm25"])
         self.cfg = IndexConfig(**p["layout"])
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self._sel_sample = None  # cached docs sample for selectivity est.
+        self._idf_cache: dict[str, float] = {}  # term -> idf (load-time N)
         # populated by every search_batch: which physical strategy ran
         # ({mode: exhaustive|routed|unrouted|cogroup, ...counts}) — the
         # observability hook ops dashboards and tests read
         self.last_plan: dict = {}
-        self._guard_scan_granularity()
+        self._map_scan_ok = self._verify_scan_granularity()
 
-    def _guard_scan_granularity(self):
+    def _verify_scan_granularity(self) -> bool:
         """The shuffle-free map-scan is exact only if the reader never
-        splits a segment file mid-file (a doc's term rows would then
-        fragment and partial scores would merge wrong). Files are written
-        tens of MB each; if any exceeds the reader's split threshold,
-        raise spark.sql.files.maxPartitionBytes so whole files stay in
-        one scan partition."""
-        biggest = 0
-        for d in self.manifest["segment_dirs"] + self.manifest.get("deltas", []):
-            for root, _, files in os.walk(os.path.join(self.path, d)):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        biggest = max(biggest,
-                                      os.path.getsize(os.path.join(root, f)))
-        cur = self.spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                  "134217728")
-        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        c = cur.strip().lower().rstrip("b")
-        cur_bytes = (int(c[:-1]) * mult[c[-1]]) if c[-1] in mult else int(c)
-        if biggest > cur_bytes:
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes",
-                                str(2 * biggest))
+        splits a segment file mid-file (a doc's term rows would fragment
+        and partial BM25 scores would merge wrong). Spark splits parquet
+        files at ROW-GROUP granularity, so the real invariant is: every
+        segment file holds exactly ONE row group (writers enforce it via
+        parquet.block.size >> file size and verify with pyarrow; the
+        manifest carries the verdict per build/append/compact).
+
+        Returns True only when the invariant is PROVEN — via the manifest
+        flag writers record after verifying their own output, or by
+        re-reading footers here (pyarrow locally, parquet-hadoop on any
+        other scheme). A violating file returns False and search falls
+        back to the cogroup scan, which groups by shard explicitly and
+        is exact under any file layout."""
+        if self.manifest.get("seg_single_rg") is True:
+            return True
+        return all(
+            verify_single_rowgroup(self.fs, d, root=self.path)
+            for d in self.manifest["segment_dirs"]
+            + self.manifest.get("deltas", []))
 
     @classmethod
     def load(cls, spark, path: str) -> "Searcher":
@@ -366,7 +386,7 @@ class Searcher:
         for d in self.manifest["segment_dirs"] + self.manifest.get("deltas", []):
             part = (self.spark.read.schema(schemas.SEGMENTS)
                     .option("recursiveFileLookup", "true")
-                    .parquet(os.path.join(self.path, d)))
+                    .parquet(self.fs.join(self.path, d)))
             ex = excl.get(d)
             if ex:  # shards superseded by a targeted-compaction patch
                 part = part.filter(~F.col("shard").isin([int(s) for s in ex]))
@@ -377,11 +397,13 @@ class Searcher:
         df = None
         for d in self.manifest.get("docs_dirs", ["docs"]):
             part = self.spark.read.schema(schemas.DOCS).parquet(
-                os.path.join(self.path, d))
+                self.fs.join(self.path, d))
             df = part if df is None else df.unionByName(part)
         if self.manifest.get("dead_docs", 0) > 0:
             dead = self.spark.read.parquet(
-                os.path.join(self.path, "dead_docs")).select("doc_id")
+                self.fs.join(self.path,
+                             self.manifest.get("dead_dir", "dead_docs"))
+            ).select("doc_id")
             df = df.join(dead, "doc_id", "left_anti")
         return df
 
@@ -392,14 +414,15 @@ class Searcher:
         row-group pruning applies to every delta file before the merge
         agg touches anything."""
         base = self.spark.read.schema(schemas.TERM_STATS).parquet(
-            os.path.join(self.path, "term_stats"))
+            self.fs.join(self.path,
+                         self.manifest.get("ts_base", "term_stats")))
         deltas = self.manifest.get("ts_deltas", [])
         if not deltas:
             return base
         df = base
         for d in deltas:
             part = self.spark.read.schema(schemas.TERM_STATS).parquet(
-                os.path.join(self.path, d))
+                self.fs.join(self.path, d))
             df = df.unionByName(part)
         return (df.groupBy("term")
                 .agg(F.sum("df").alias("df"),
@@ -420,7 +443,7 @@ class Searcher:
             p = dq.get(d, {"tf_base": 0.0, "tf_scale": 0.0,
                            "dl_base": 0.0, "dl_scale": 0.0})
             part = self.spark.read.schema(schemas.DIRECTORY).parquet(
-                os.path.join(self.path, d))
+                self.fs.join(self.path, d))
             return part.select(
                 "term", "shard", "n_blocks", "n_postings",
                 dequantize_col(F.col("max_tf_q"), p["tf_base"],
@@ -428,15 +451,19 @@ class Searcher:
                 dequantize_col(F.col("min_dl_q"), p["dl_base"],
                                p["dl_scale"]).alias("min_dl"))
 
-        df = read_one("directory")
+        df = read_one(self.manifest.get("dir_base", "directory"))
         for d in self.manifest.get("dir_deltas", []):
             df = df.unionByName(read_one(d))
         return df
 
     def tombstones(self) -> DataFrame | None:
-        p = os.path.join(self.path, "tombstones")
-        if self.manifest.get("tombstones", 0) > 0 and os.path.exists(p):
-            return self.spark.read.parquet(p)
+        # generation-named tombstone dir, resolved THROUGH the manifest
+        # (visibility = manifest commit; a staged-but-uncommitted merge
+        # is invisible, so delete() replays are exact — see
+        # maintenance.delete)
+        if self.manifest.get("tombstones", 0) > 0:
+            d = self.manifest.get("tomb_dir", "tombstones")
+            return self.spark.read.parquet(self.fs.join(self.path, d))
         return None
 
     # -- public API ----------------------------------------------------------
@@ -473,10 +500,7 @@ class Searcher:
             self.last_plan = {"mode": "empty"}
             return empty
 
-        # idf of query terms (parquet filter pushdown on sorted term col)
-        stats = (self.term_stats().filter(F.col("term").isin(all_terms))
-                 .select("term", "df").collect())
-        idf = {r["term"]: float(idf_np(r["df"], self.n_docs)) for r in stats}
+        idf = self._idf_lookup(all_terms)
         live = [(q, [t for t in ts if t in idf], k) for q, ts, k in parsed]
         live = [(q, ts, k) for q, ts, k in live if ts]
         if not live:
@@ -508,14 +532,17 @@ class Searcher:
         qterms = self.spark.createDataFrame(
             [(int(q), t, float(idf[t])) for q, ts, _ in live for t in ts],
             "query_id int, term string, idf double")
-        ub_df = (self.directory()
-                 .filter(F.col("term").isin(all_terms))
-                 .select("term", "shard", "max_tf", "min_dl")
-                 # base + append-delta rows can repeat a (term, shard) key;
-                 # collapse to one admissible bound so ub isn't inflated
-                 .groupBy("term", "shard")
-                 .agg(F.max("max_tf").alias("max_tf"),
-                      F.min("min_dl").alias("min_dl"))
+        bounds = (self.directory()
+                  .filter(F.col("term").isin(all_terms))
+                  .select("term", "shard", "max_tf", "min_dl"))
+        if self.manifest.get("dir_deltas"):
+            # base + append-delta rows can repeat a (term, shard) key;
+            # collapse to one admissible bound so ub isn't inflated.
+            # (Delta-free indexes skip this shuffle — keys are unique.)
+            bounds = (bounds.groupBy("term", "shard")
+                      .agg(F.max("max_tf").alias("max_tf"),
+                           F.min("min_dl").alias("min_dl")))
+        ub_df = (bounds
                  .join(F.broadcast(qterms), "term")
                  .withColumn("contrib", F.col("idf") * tfnorm_col(
                      F.col("max_tf"), F.col("min_dl"),
@@ -542,27 +569,31 @@ class Searcher:
         qspec0 = [(q, ts, k, None) for q, ts, k in live]
         if mask_df is None:
             seed_res = self._map_scan(seed_seg, qspec0, idf,
-                                      routing=seed_routing).persist()
+                                      routing=seed_routing)
         else:
             seed_asg = self.spark.createDataFrame(
                 sorted(seed_set), "query_id int, shard long")
             seed_res = self._scan(seed_seg, qspec0, idf, mask_df, pred_mode,
-                                  asg_df=seed_asg).persist()
+                                  asg_df=seed_asg)
 
-        # ---- θ: the k-th seed score per query (Q floats) parameterizes
-        # the scorer closure (searcher.hpp:82-91's threshold role).
-        kdf = self.spark.createDataFrame([(q, k) for q, _, k in live],
-                                         "query_id int, k int")
-        wk = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                                    F.asc("doc_id"))
-        th_rows = (seed_res.join(F.broadcast(kdf), "query_id")
-                   .withColumn("_rn", F.row_number().over(wk))
-                   .filter(F.col("_rn") == F.col("k"))
-                   .select("query_id", "score").collect())
-        theta = {int(r["query_id"]): float(r["score"]) for r in th_rows}
+        # ---- seed top-k + θ in ONE job: collect the per-query top-k over
+        # the seed shards (bounded: <= Σk rows). θ (the k-th seed score,
+        # searcher.hpp:82-91's threshold role) falls out driver-side, and
+        # the rows themselves are REUSED as the seed contribution to the
+        # final merge — the seed scan is never thrown away or re-run.
+        seed_rows = [(int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
+                     for r in self._global_topk(seed_res, live).collect()]
+        n_seed_hits: dict[int, int] = {}
+        worst: dict[int, float] = {}
+        for q, _, s in seed_rows:
+            n_seed_hits[q] = n_seed_hits.get(q, 0) + 1
+            worst[q] = min(worst.get(q, s), s)
+        theta = {q: worst[q] for q, _, k in live
+                 if n_seed_hits.get(q, 0) >= k}
         theta_df = self.spark.createDataFrame(
             [(int(q), float(t)) for q, t in theta.items()],
             "query_id int, theta double")
+        seed_df = self.spark.createDataFrame(seed_rows or [], schemas.RESULTS)
 
         # ---- main scan over (query, shard) pairs that can still beat θ.
         # ONE bounded collect (limit CAP+1) both sizes the survivor set
@@ -581,38 +612,45 @@ class Searcher:
 
         if mask_df is None and n_main > 0.5 * len(live) * n_shards_total:
             # Pruning is ineffective (uniform shards: bounds beat θ almost
-            # everywhere) — routing would ship ~Q x shards pairs to save
-            # nothing. Run ONE unrouted pass over all shards with per-query
-            # θ (classic WAND with a warmed heap: every doc that can reach
-            # the top-k clears θ and is fully scored). Seed results are
-            # discarded, not unioned — their shards are rescored here, and
-            # a union would duplicate (query, doc) rows.
+            # everywhere) — per-pair routing would ship ~Q x shards pairs
+            # to save nothing. Run ONE unrouted pass with per-query θ
+            # (classic WAND with a warmed heap), SKIPPING the seed pairs
+            # in the scorer (anti-routing, <= seed_shards x Q entries in
+            # the closure): the collected seed top-k supplies those
+            # shards' contribution, so no (query, doc) is scored twice
+            # and the seed work is reused, not discarded.
             self.last_plan = {"mode": "unrouted", "n_main": n_main,
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
-            res = self._map_scan(seg, qspec1, idf)
-            out = self._materialize(self._global_topk(res, live))
+            res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing)
+            out = self._materialize(
+                self._global_topk(seed_df.unionByName(res), live))
         elif mask_df is None and n_main <= _ROUTING_CAP:
             pairs = [(int(r["query_id"]), int(r["shard"])) for r in peek]
             routing: dict[int, set] = {}
             for q, sh in pairs:
                 if (q, sh) not in seed_set:  # seed shards already scored
                     routing.setdefault(sh, set()).add(q)
-            if routing:
-                main_seg = seg.filter(F.col("shard").isin(sorted(routing)))
-                main_res = self._map_scan(main_seg, qspec1, idf,
-                                          routing=routing)
-                merged = seed_res.unionByName(main_res)
-            else:
-                merged = seed_res
             self.last_plan = {"mode": "routed", "n_main": n_main,
                               "n_main_shards": len(routing),
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
-            out = self._materialize(self._global_topk(merged, live))
+            if routing:
+                main_seg = seg.filter(F.col("shard").isin(sorted(routing)))
+                main_res = self._map_scan(main_seg, qspec1, idf,
+                                          routing=routing)
+                out = self._materialize(self._global_topk(
+                    seed_df.unionByName(main_res), live))
+            else:
+                # every surviving pair was a seed pair: the collected
+                # seed top-k IS the answer — zero further jobs
+                out = seed_df
         else:
             # mask present, or routing too large for the driver: ship
             # routing through the cogroup channel (never collected)
+            self.last_plan = {"mode": "cogroup", "n_main": n_main,
+                              "n_shards": n_shards_total,
+                              "n_queries": len(live)}
             seed_asg = self.spark.createDataFrame(
                 sorted(seed_set), "query_id int, shard long")
             main_routed = main_asg.join(seed_asg, ["query_id", "shard"],
@@ -623,11 +661,47 @@ class Searcher:
             main_res = self._scan(main_seg, qspec1, idf, mask_df, pred_mode,
                                   asg_df=main_routed)
             out = self._materialize(
-                self._global_topk(seed_res.unionByName(main_res), live))
+                self._global_topk(seed_df.unionByName(main_res), live))
 
         ub_df.unpersist()
         main_asg.unpersist()
-        seed_res.unpersist()
+        return out
+
+    def _idf_lookup(self, terms: list[str]) -> dict[str, float]:
+        """term -> idf for the query terms, from term_stats (base +
+        deltas). Driver-cached per Searcher (N is load-time fixed, so idf
+        is too). Cold terms resolve via a pyarrow footer-pruned read on
+        local indexes — a millisecond metadata lookup instead of a Spark
+        job — falling back to the Spark merged view elsewhere. OOV terms
+        are cached as absent (df<=0) so repeats skip the lookup too."""
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            dirs = [self.manifest.get("ts_base", "term_stats")] \
+                + self.manifest.get("ts_deltas", [])
+            df_by_term: dict[str, int] = {}
+            if self.fs.is_local:
+                import pyarrow.dataset as ds
+                for d in dirs:
+                    dset = ds.dataset(self.fs.join(self.path, d),
+                                      format="parquet")
+                    tab = dset.to_table(
+                        columns=["term", "df"],
+                        filter=ds.field("term").isin(missing))
+                    for t, c in zip(tab["term"].to_pylist(),
+                                    tab["df"].to_pylist()):
+                        df_by_term[t] = df_by_term.get(t, 0) + int(c)
+            else:
+                rows = (self.term_stats()
+                        .filter(F.col("term").isin(missing))
+                        .select("term", "df").collect())
+                for r in rows:
+                    df_by_term[r["term"]] = int(r["df"])
+            for t in missing:
+                d = df_by_term.get(t, 0)
+                self._idf_cache[t] = (
+                    float(idf_np(d, self.n_docs)) if d > 0 else float("nan"))
+        out = {t: v for t in terms
+               if not np.isnan(v := self._idf_cache[t])}
         return out
 
     def _materialize(self, df: DataFrame) -> DataFrame:
@@ -704,19 +778,42 @@ class Searcher:
         return df
 
     def _map_scan(self, seg: DataFrame, qspec, idf: dict[str, float],
-                  routing: dict[int, set] | None = None) -> DataFrame:
+                  routing: dict[int, set] | None = None,
+                  anti_routing: dict[int, set] | None = None) -> DataFrame:
         """Shuffle-free scan: the scorer runs as mapInPandas directly on
         the parquet scan partitions (see _partition_scorer for why this
         is exact). Used whenever there is no predicate/tombstone mask —
         the mask rows can be arbitrarily large and ride the cogroup
-        channel instead."""
+        channel instead. Exactness requires the one-row-group-per-file
+        invariant (_verify_scan_granularity); when it is unproven, the
+        scan degrades to the always-exact cogroup channel."""
+        if not self._map_scan_ok:
+            asg_df = None
+            if routing is not None:
+                asg_df = self.spark.createDataFrame(
+                    sorted((q, sh) for sh, qs in routing.items()
+                           for q in qs), "query_id int, shard long")
+                seg = seg.filter(F.col("shard").isin(sorted(routing)))
+            if anti_routing is not None:
+                # distributed complement: (all scanned shards x queries)
+                # minus the anti pairs — never collected to the driver
+                all_q = {int(q) for q, _, _, _ in qspec}
+                anti_df = self.spark.createDataFrame(
+                    sorted((q, int(sh)) for sh, qs in anti_routing.items()
+                           for q in qs), "query_id int, shard long")
+                q_df = self.spark.createDataFrame(
+                    [(q,) for q in sorted(all_q)], "query_id int")
+                asg_df = (seg.select("shard").distinct()
+                          .crossJoin(F.broadcast(q_df))
+                          .join(anti_df, ["query_id", "shard"], "left_anti"))
+            return self._scan(seg, qspec, idf, None, None, asg_df=asg_df)
         payload = {"queries": qspec, "idf": idf,
                    "avgdl": self.avgdl, "k1": self.params.k1,
                    "b": self.params.b,
                    "docs_per_shard": self.cfg.docs_per_shard,
                    "predicate_mode": None,
                    "assigned": False, "has_mask": False,
-                   "routing": routing}
+                   "routing": routing, "anti_routing": anti_routing}
         fn = _partition_scorer(payload)
         return seg.mapInPandas(fn, schema=schemas.RESULTS)
 

@@ -241,10 +241,16 @@ def test_targeted_compact(spark, tmp_path, corpus_pdfs):
         assert_rank_identical(got, oracle.topk(qtext, k), f"tc q{qid}")
     res.unpersist()
 
-    # a full compact afterwards folds everything back to a clean base
+    # a full compact afterwards folds everything back to a clean base —
+    # GEN-NAMED (crash-safe pointer flip), resolved through the manifest
     m = Maintainer(spark, path).compact()
-    assert m["segment_dirs"] == ["segments/base"] and m["seg_excludes"] == {}
-    assert m["dead_docs"] == 0 and m["docs_dirs"] == ["docs"]
+    assert len(m["segment_dirs"]) == 1 and m["seg_excludes"] == {}
+    assert m["segment_dirs"][0].startswith("segments/base")
+    assert m["dead_docs"] == 0 and len(m["docs_dirs"]) == 1
+    assert m["docs_dirs"][0].startswith("docs")
+    # old artifacts physically gone (deleted post-commit)
+    assert not os.path.exists(os.path.join(path, "segments", "base"))
+    assert not os.path.exists(os.path.join(path, "docs"))
     searcher = Searcher.load(spark, path)
     res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
     for qid, qtext, k in QUERIES:
