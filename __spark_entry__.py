@@ -387,6 +387,30 @@ def q_ann_lsh(spark, sf_dir):
                       F.round("score", 6).alias("cosine"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Persisted IVF (learned k-means buckets) index, FULL probe
+    (nprobe=n_clusters) — provably identical to brute force, so the
+    exact-cosine SQL is a true oracle for the train/assign/probe/
+    save-load machinery (reference clustering.hpp + ivf_wrapper.hpp).
+    Partial-probe recall vs LSH is pytest-gated
+    (tests/test_similarity.py)."""
+    import tempfile
+
+    from pdx_spark.operators.similarity import AnnIndex
+    key = ("ivf", sf_dir)
+    if key not in _ANN_IDX_CACHE:
+        path = os.path.join(tempfile.gettempdir(),
+                            "pdx_ivf_" + sf_dir.strip("/").replace("/", "_"))
+        AnnIndex.build_ivf(_emb(spark, sf_dir), path, n_clusters=16)
+        _ANN_IDX_CACHE[key] = path
+    idx = AnnIndex.load(spark, _ANN_IDX_CACHE[key])
+    qvec = list(idx.vectors().filter(F.col("vec_id") == 0)
+                .select("embedding").collect()[0][0])
+    res = idx.topk(qvec, k=10, nprobe=16)
+    return res.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round("score", 6).alias("cosine"))
+
+
 def q_ann_lsh_batch(spark, sf_dir):
     """Batched LSH top-k (one Spark job for the whole query batch) at full
     probe — oracle is per-query exact top-10 UNION ALL."""
@@ -615,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh_batch": q_ann_lsh_batch,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -910,6 +935,9 @@ def oracle_sql() -> dict[str, str]:
         # full probe (nprobe = 2^n_planes) scans every bucket => provably
         # equal to exact top-k; the SQL is a true oracle for the LSH path
         "ann_lsh": _ANN_TOPK_SQL.format(qid=0, extra=""),
+        # full probe (nprobe = n_clusters) scans every learned bucket =>
+        # provably equal to exact top-k; true oracle for the IVF path
+        "ann_ivf": _ANN_TOPK_SQL.format(qid=0, extra=""),
         "ann_lsh_batch": " UNION ALL ".join(
             "SELECT * FROM (" + _ANN_TOPK_SQL.format(
                 qid=q, extra=f"{q} AS query_id,") + ")"

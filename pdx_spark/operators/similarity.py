@@ -196,14 +196,109 @@ def _dim_of(emb: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+# ---- IVF (learned k-means) bucketing — the reference's literal
+# partitioning (clustering.hpp:28-120: sampled k-means -> centroids ->
+# assign; searcher.hpp:181-215: rank centroids per query, probe nprobe).
+# Same probe/verify shape as the hyperplane LSH path; buckets are
+# learned instead of random, which tightens candidate sets on clustered
+# corpora (higher recall at equal nprobe). ----
+
+def ivf_train(emb: DataFrame, n_clusters: int = 64,
+              vec_col: str = "embedding", seed: int = SEED,
+              sample_fraction: float | None = None) -> np.ndarray:
+    """K-means centroids (n_clusters x dim) via pyspark.ml — distributed
+    Lloyd's, mirroring the reference's sampled training
+    (clustering.hpp:46-63: trains on a sample when the corpus is large).
+    At 100 TB callers pass sample_fraction to train on a bounded sample;
+    assignment stays full-corpus either way."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb if sample_fraction is None else emb.sample(
+        fraction=sample_fraction, seed=seed)
+    vecs = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, initMode="k-means||") \
+        .fit(vecs)
+    return np.array([np.asarray(c, dtype=np.float64)
+                     for c in model.clusterCenters()])
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds `bucket` = argmin_c ||v - centroid_c||^2, computed as an
+    Arrow-batched matmul (one GEMM per batch — the PopulateIVFClusters
+    analog, ivf_wrapper.hpp:15-38). No shuffle; assignment is per-row."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cnorm = (cent * cent).sum(axis=1)  # ||c||^2 term; ||v||^2 constant per row
+    # fresh StructType — StructType.add would MUTATE emb's cached schema
+    schema = StructType(list(emb.schema.fields)
+                        + [StructField("bucket", IntegerType())])
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # argmin ||v-c||^2 = argmin ||c||^2 - 2 v.c
+            d = cnorm[None, :] - 2.0 * (V @ cent.T)
+            pdf = pdf.copy()
+            pdf["bucket"] = pd.Series(np.argmin(d, axis=1).astype("int32"),
+                                      index=pdf.index)
+            yield pdf
+
+    return emb.mapInPandas(fn, schema=schema)
+
+
+def ivf_topk_batch(assigned: DataFrame, centroids: np.ndarray,
+                   queries: list[tuple[int, list[float]]], k: int = 10,
+                   nprobe: int = DEFAULT_NPROBE, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Batched IVF cosine top-k: per query, rank centroids by L2 distance
+    (the cluster-promise order, searcher.hpp:181-215) and probe the
+    nearest `nprobe`; routing ships as a broadcast (query_id, bucket)
+    frame; ONE job scores the whole batch. nprobe = n_clusters is
+    exhaustive == brute force (the true-oracle configuration)."""
+    spark = assigned.sparkSession
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    probe_rows, qvec_rows = [], []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        d = ((cent - q[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(cent)), d))[:nprobe]
+        probe_rows += [(int(qid), int(b)) for b in order]
+        qvec_rows.append((int(qid), [float(x) for x in q],
+                          float(np.linalg.norm(q))))
+    probes = spark.createDataFrame(probe_rows, "query_id int, bucket int")
+    qvecs = spark.createDataFrame(qvec_rows,
+                                  "query_id int, qv array<double>, qn double")
+    joined = (assigned.join(F.broadcast(probes), "bucket")
+              .join(F.broadcast(qvecs), "query_id"))
+    score = _dot(F.col(vec_col), F.col("qv")) / (_norm(F.col(vec_col))
+                                                 * F.col("qn"))
+    scored = joined.select("query_id", F.col(id_col).alias("vec_id"),
+                           score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 # ---- persisted ANN index (save/load parity with the reference's
 # index_factory.save/load, python/pdxearch/index_factory.py:47-66) ----
 
 class AnnIndex:
-    """LSH-bucketed ANN index persisted as an artifact: bucketed vectors
+    """Bucketed ANN index persisted as an artifact: bucketed vectors
     (parquet, sorted by bucket for row-group pruning on probe filters) +
-    a JSON manifest carrying (dim, n_planes, seed, n_vectors,
-    format_version). load() -> same top-k as the pre-save handle."""
+    a JSON manifest carrying (kind, dim, params, n_vectors,
+    format_version). Two bucketings, one artifact format:
+    kind="lsh" (random hyperplanes) and kind="ivf" (learned k-means
+    centroids, stored in the manifest — the reference's literal IVF,
+    ivf_wrapper.hpp + clustering.hpp). load() -> same top-k as the
+    pre-save handle."""
 
     MANIFEST = "ann_manifest.json"
 
@@ -233,14 +328,53 @@ class AnnIndex:
             shutil.rmtree(final)
         os.replace(tmp, final)
         n = spark.read.parquet(final).count()
-        meta = {"dim": dim, "n_planes": n_planes, "seed": seed,
-                "n_vectors": int(n), "metric": "cosine",
+        meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
+                "seed": seed, "n_vectors": int(n), "metric": "cosine",
                 "format_version": 1}
-        mtmp = os.path.join(path, cls.MANIFEST + ".tmp")
+        cls._commit_manifest(path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def build_ivf(cls, emb: DataFrame, path: str, n_clusters: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = SEED,
+                  sample_fraction: float | None = None) -> "AnnIndex":
+        """IVF variant: learned k-means buckets (clustering.hpp:28-120);
+        centroids persist in the manifest (n_clusters x dim floats — KB,
+        not data-scale)."""
+        import os
+        import shutil
+        spark = emb.sparkSession
+        centroids = ivf_train(emb, n_clusters, vec_col, seed, sample_fraction)
+        assigned = ivf_assign(
+            emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding")),
+            centroids, "embedding")
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "vectors.tmp")
+        assigned.sortWithinPartitions("bucket") \
+                .write.mode("overwrite").parquet(tmp)
+        final = os.path.join(path, "vectors")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        n = spark.read.parquet(final).count()
+        meta = {"kind": "ivf", "dim": int(centroids.shape[1]),
+                "n_clusters": int(n_clusters), "seed": seed,
+                "n_vectors": int(n), "metric": "cosine",
+                "centroids": [[float(x) for x in c] for c in centroids],
+                "format_version": 1}
+        cls._commit_manifest(path, meta)
+        return cls(spark, path, meta)
+
+    @staticmethod
+    def _commit_manifest(path: str, meta: dict) -> None:
+        import json
+        import os
+        mtmp = os.path.join(path, AnnIndex.MANIFEST + ".tmp")
         with open(mtmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
-        os.replace(mtmp, os.path.join(path, cls.MANIFEST))
-        return cls(spark, path, meta)
+        os.replace(mtmp, os.path.join(path, AnnIndex.MANIFEST))
 
     @classmethod
     def load(cls, spark, path: str) -> "AnnIndex":
@@ -253,13 +387,23 @@ class AnnIndex:
         import os
         return self.spark.read.parquet(os.path.join(self.path, "vectors"))
 
+    def _centroids(self) -> np.ndarray:
+        return np.array(self.meta["centroids"], dtype=np.float64)
+
     def topk(self, query_vec: list[float], k: int = 10,
              nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+        if self.meta.get("kind", "lsh") == "ivf":
+            res = ivf_topk_batch(self.vectors(), self._centroids(),
+                                 [(0, query_vec)], k, nprobe)
+            return res.select("vec_id", "score")
         return lsh_topk(self.vectors(), query_vec, k,
                         self.meta["n_planes"], nprobe, seed=self.meta["seed"])
 
     def topk_batch(self, queries: list[tuple[int, list[float]]], k: int = 10,
                    nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+        if self.meta.get("kind", "lsh") == "ivf":
+            return ivf_topk_batch(self.vectors(), self._centroids(),
+                                  queries, k, nprobe)
         return lsh_topk_batch(self.vectors(), queries, k,
                               self.meta["n_planes"], nprobe,
                               seed=self.meta["seed"])

@@ -142,3 +142,76 @@ def test_lsh_topk_batch_equals_per_query(spark, emb_df, emb_np):
         assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == solo, \
             f"query {qid}"
     bucketed.unpersist()
+
+
+def test_ivf_full_probe_equals_bruteforce_and_roundtrip(spark, tmp_path,
+                                                        emb_df, emb_np):
+    """IVF (learned k-means buckets) at nprobe=n_clusters == brute force,
+    and save/load returns identical results — the reference's literal
+    IVF machinery (clustering.hpp:28-120, ivf_wrapper.hpp:15-38) on the
+    same AnnIndex artifact format."""
+    from pdx_spark.operators.similarity import AnnIndex
+    path = str(tmp_path / "ivf_idx")
+    built = AnnIndex.build_ivf(emb_df, path, n_clusters=8)
+    assert built.meta["kind"] == "ivf"
+    assert len(built.meta["centroids"]) == 8
+    q = emb_np[13].tolist()
+    pre = [(r["vec_id"], round(r["score"], 9)) for r in
+           built.topk(q, k=10, nprobe=8).collect()]
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.meta == built.meta
+    post = [(r["vec_id"], round(r["score"], 9)) for r in
+            loaded.topk(q, k=10, nprobe=8).collect()]
+    assert pre == post
+    bf = [r["vec_id"] for r in
+          brute_force_topk(emb_df, q, k=10, metric="cosine").collect()]
+    assert [v for v, _ in post] == bf
+
+
+def test_ivf_recall_beats_or_matches_lsh_at_equal_nprobe(spark, emb_df,
+                                                         emb_np):
+    """Learned buckets should not lose to random hyperplanes at equal
+    probe budget: mean recall@10 over a query sample, 16 buckets each,
+    nprobe=4 (1/4 of the corpus' buckets). Also checks IVF recall
+    monotone in nprobe and ==1.0 at full probe."""
+    from pdx_spark.operators.similarity import (ivf_assign, ivf_topk_batch,
+                                                ivf_train, lsh_assign,
+                                                lsh_topk)
+    cents = ivf_train(emb_df, n_clusters=16)
+    assigned = ivf_assign(emb_df, cents).persist()
+    lsh_b = lsh_assign(emb_df, dim=DIM, n_planes=4).persist()
+
+    qids = [3, 9, 27, 41, 77]
+    queries = [(i, emb_np[i].tolist()) for i in qids]
+    want = {i: {r["vec_id"] for r in
+                brute_force_topk(emb_df, emb_np[i].tolist(), k=10,
+                                 metric="cosine").collect()}
+            for i in qids}
+
+    ivf_hits = {}
+    for r in ivf_topk_batch(assigned, cents, queries, k=10,
+                            nprobe=4).collect():
+        ivf_hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf_recall = np.mean([len(ivf_hits.get(i, set()) & want[i]) / 10
+                          for i in qids])
+
+    lsh_recall = np.mean([
+        len({r["vec_id"] for r in
+             lsh_topk(lsh_b, emb_np[i].tolist(), k=10, n_planes=4,
+                      nprobe=4).collect()} & want[i]) / 10
+        for i in qids])
+    assert ivf_recall >= lsh_recall - 1e-9, (ivf_recall, lsh_recall)
+
+    # monotone in nprobe; exact at full probe
+    last = -1.0
+    for nprobe in (2, 8, 16):
+        hits = {}
+        for r in ivf_topk_batch(assigned, cents, queries, k=10,
+                                nprobe=nprobe).collect():
+            hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+        rec = np.mean([len(hits.get(i, set()) & want[i]) / 10 for i in qids])
+        assert rec >= last - 1e-9
+        last = rec
+    assert last == 1.0
+    assigned.unpersist()
+    lsh_b.unpersist()

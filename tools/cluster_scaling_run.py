@@ -38,7 +38,8 @@ SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 
 def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
-            trans_path: str, n_queries: int, warmup: bool) -> dict:
+            trans_path: str, n_queries: int, warmup: bool,
+            pin: bool = False, driver_cores: str = "28-31") -> dict:
     zip_path = os.path.join(ROOT, "dist", "pdx_spark.zip")
     idx = f"/tmp/pdx_cluster_idx_w{workers}"
     shutil.rmtree(idx, ignore_errors=True)
@@ -62,6 +63,12 @@ def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
     ]
     if warmup:
         cmd.append("--warmup")
+    if pin:
+        # hard CPU budget per "cluster size": executor trees get exactly
+        # `cores` host cores; the driver tree gets the SAME fixed 4 cores
+        # in both legs (a real cluster's driver node is constant too)
+        cmd += ["--pin-exec", f"0-{cores - 1}",
+                "--pin-driver", driver_cores]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     shutil.rmtree(idx, ignore_errors=True)
     for line in proc.stdout.splitlines():
@@ -84,6 +91,10 @@ def main():
     ap.add_argument("--workers-high", type=int, default=8)
     ap.add_argument("--cores-per-worker", type=int, default=4)
     ap.add_argument("--mem-gb", type=int, default=10)
+    ap.add_argument("--pin", action="store_true",
+                    help="pin executor trees to exactly N host cores "
+                         "(driver on its own fixed cores) — a hard CPU "
+                         "budget per cluster size")
     args = ap.parse_args()
 
     subprocess.run([sys.executable,
@@ -96,7 +107,8 @@ def main():
     for rep in range(args.repeats):
         for w in (args.workers_high, args.workers_low):
             leg = run_leg(w, args.cores_per_worker, args.mem_gb,
-                          trans_path, args.queries, warmup=(rep == 0))
+                          trans_path, args.queries, warmup=(rep == 0),
+                          pin=args.pin)
             legs[w].append(leg)
             print(f"# rep{rep} w{w} ({w * args.cores_per_worker}c): "
                   f"build={leg.get('build_sec')}s query={leg['query_sec']}s "
@@ -114,6 +126,7 @@ def main():
     query_lo, query_hi = best(lo_w, "query_sec"), best(hi_w, "query_sec")
     result = {
         "mode": "multi-process (spark-submit, local-cluster)",
+        "cpu_pinned": bool(args.pin),
         "n_turns": n_turns, "queries": args.queries,
         "executors": {"low": lo_w, "high": hi_w},
         "cores": {"low": lo_c, "high": hi_c},

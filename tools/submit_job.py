@@ -23,7 +23,75 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+
+def _parse_cores(spec: str) -> set[int]:
+    out: set[int] = set()
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out |= set(range(int(a), int(b) + 1))
+        else:
+            out.add(int(part))
+    return out
+
+
+def _descendants(root_pids: set[int]) -> set[int]:
+    kids: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+            kids.setdefault(ppid, []).append(int(d))
+        except Exception:
+            continue
+    out, stack = set(), list(root_pids)
+    while stack:
+        p = stack.pop()
+        if p in out:
+            continue
+        out.add(p)
+        stack.extend(kids.get(p, []))
+    return out
+
+
+def pin_processes(exec_cores: set[int], driver_cores: set[int]) -> int:
+    """Hard CPU budgets, the way a real cluster's container limits work:
+    every executor backend process AND its descendants (python workers)
+    onto exec_cores; everything else in this job's tree (driver JVM,
+    master/worker threads, this script) onto driver_cores. Returns the
+    number of executor-tree processes pinned. Re-run before each timed
+    phase — python daemons spawn lazily and must inherit or be caught."""
+    exec_roots: set[int] = set()
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="ignore")
+        except Exception:
+            continue
+        if "CoarseGrainedExecutorBackend" in cmd:
+            exec_roots.add(int(d))
+    exec_tree = _descendants(exec_roots) if exec_roots else set()
+    me_tree = _descendants({os.getppid() if os.getppid() > 1 else os.getpid()})
+    n = 0
+    for p in exec_tree:
+        try:
+            os.sched_setaffinity(p, exec_cores)
+            n += 1
+        except Exception:
+            pass
+    for p in me_tree - exec_tree:
+        try:
+            os.sched_setaffinity(p, driver_cores)
+        except Exception:
+            pass
+    return n
 
 
 def main():
@@ -35,6 +103,10 @@ def main():
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--warmup", action="store_true",
                     help="untimed small build + query first (JIT/codegen)")
+    ap.add_argument("--pin-exec", default=None,
+                    help="core list (e.g. 0-7) to pin executor trees to")
+    ap.add_argument("--pin-driver", default=None,
+                    help="core list (e.g. 28-31) for the driver tree")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,10 +119,21 @@ def main():
     from pdx_spark.sources.fixtures import make_queries_pdf
 
     df = spark.read.schema(TRANSCRIPTS).parquet(args.transcripts)
-    n_turns = df.count()
+    n_turns = df.count()  # also forces executor registration (for pinning)
+
+    pin = None
+    if args.pin_exec and args.pin_driver:
+        ec, dc = _parse_cores(args.pin_exec), _parse_cores(args.pin_driver)
+
+        def pin():
+            n = pin_processes(ec, dc)
+            print(f"# pinned {n} executor-tree procs to {sorted(ec)}",
+                  flush=True)
+        pin()
 
     out = {"n_turns": n_turns,
            "cores": spark.sparkContext.defaultParallelism,
+           "pin_exec": args.pin_exec, "pin_driver": args.pin_driver,
            "executors": spark.sparkContext.getConf().get(
                "spark.executor.instances", "?")}
 
@@ -67,6 +150,8 @@ def main():
         shutil.rmtree(wpath, ignore_errors=True)
 
     if not args.skip_build:
+        if pin:
+            pin()
         t0 = time.time()
         Indexer(spark).build(df, args.index, n_chunks=1)
         out["build_sec"] = round(time.time() - t0, 3)
@@ -74,6 +159,8 @@ def main():
 
     s = Searcher.load(spark, args.index)
     s.search_batch(queries[:4])  # warm the scan path, cache idf plumbing
+    if pin:
+        pin()  # catch python daemons spawned since the last pin
     t0 = time.time()
     rows = s.search_batch(queries).count()
     out["query_sec"] = round(time.time() - t0, 3)
