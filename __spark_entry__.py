@@ -566,7 +566,7 @@ def q_transcripts_bm25(spark, sf_dir):
     in SQL over the same parquet with doc_id = dense (conv_id, turn_idx)
     rank — validates id assignment + tokenize + stats + blocks + WAND."""
     s = _transcripts_searcher(spark)
-    res = s.search_batch([(0, TRANS_QUERY, 10)], two_phase_min_shards=2)
+    res = s.search_batch([(0, TRANS_QUERY, 10)], two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
     return (res.join(keys, "doc_id")
             .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))
@@ -576,7 +576,7 @@ def q_transcripts_filtered(spark, sf_dir):
     s = _transcripts_searcher(spark)
     res = s.search_batch([(0, "w0001 w0050", 10)],
                          predicate="role = 'assistant'",
-                         two_phase_min_shards=2)
+                         two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
     return (res.join(keys, "doc_id")
             .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))

@@ -115,7 +115,7 @@ def run_leg(cores: int, queries, trans_path: str, warmup: bool = True) -> dict:
         out["exact50_sec"] = time.time() - t0
 
         t0 = time.time()
-        searcher.search_batch(queries, two_phase_min_shards=2).count()
+        searcher.search_batch(queries, two_phase_min_shards=2, force_two_phase=True).count()
         out["query_pruned_sec"] = time.time() - t0
 
         # O(delta) maintenance: append ~2% of the corpus as a delta and

@@ -36,7 +36,11 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
     localCheckpoint pins boundaries + ids against recomputation."""
     spark = transcripts.sparkSession
     if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        # 4 partitions per core: one wave per core leaves the slowest
+        # tokenize partition as the build's critical path; 4 waves
+        # smooth stragglers (and keep per-task state bounded at 1000
+        # executors)
+        num_partitions = max(4 * spark.sparkContext.defaultParallelism, 8)
 
     ranged = (transcripts
               .repartitionByRange(num_partitions, "conv_id", "turn_idx")

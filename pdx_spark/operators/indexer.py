@@ -105,6 +105,27 @@ def write_directory_rows(rows: DataFrame, final: str,
     return params
 
 
+def _chunk_stats(spark, fs: IndexFS, seg_dir: str) -> dict:
+    """Lineage metrics (block + posting counts) for a written chunk.
+    Local: pure parquet metadata + a single-column pyarrow read — no
+    Spark job (each job costs ~1-2s of fixed scheduling; at small
+    chunks that overhead was a measurable serial fraction of the
+    build). Remote: one Spark agg."""
+    if fs.is_local:
+        import pyarrow.parquet as pq
+        blocks = postings = 0
+        for f, _ in fs.parquet_files(seg_dir):
+            md = pq.ParquetFile(f)
+            blocks += md.metadata.num_rows
+            tab = md.read(columns=["n"])
+            postings += int(np.asarray(tab["n"]).sum()) if len(tab) else 0
+        return {"blocks": int(blocks), "postings": int(postings)}
+    row = (spark.read.schema(schemas.SEGMENTS)
+           .option("recursiveFileLookup", "true").parquet(seg_dir)
+           .agg(F.count("*").alias("b"), F.sum("n").alias("p")).collect()[0])
+    return {"blocks": int(row["b"]), "postings": int(row["p"] or 0)}
+
+
 def _write_manifest(path: str, manifest: dict,
                     fs: IndexFS | None = None) -> None:
     fs = fs or LocalFS()
@@ -306,13 +327,8 @@ class Indexer:
                    .write.option("parquet.block.size", PARQUET_BLOCK_SIZE) \
                    .mode("overwrite").parquet(tmp)
                 fs.rename(tmp, final)
-                seg_read = self.spark.read.parquet(final)
-                stats = seg_read.agg(
-                    F.count("*").alias("blocks"),
-                    F.sum("n").alias("postings")).collect()[0]
                 manifest["chunks"][key] = {
-                    "status": "done", "blocks": int(stats["blocks"]),
-                    "postings": int(stats["postings"] or 0),
+                    "status": "done", **_chunk_stats(self.spark, fs, final),
                     "sec": round(time.time() - tc, 2)}
                 _write_manifest(path, manifest, fs=fs)
             manifest["segment_dirs"] = ["segments/base"]

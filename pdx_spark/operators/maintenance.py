@@ -167,7 +167,13 @@ class Maintainer:
         next_id = self._next_doc_id()  # O(1) manifest read, never a scan
 
         tt = time.time()
-        with_ids = C.assign_doc_ids(transcripts)
+        # appends are delta-sized by design: one partition per core (the
+        # build's 4x straggler smoothing would add fixed task-scheduling
+        # cost to every micro-batch for nothing)
+        with_ids = C.assign_doc_ids(
+            transcripts,
+            num_partitions=max(
+                self.spark.sparkContext.defaultParallelism, 8))
         with_ids = with_ids.withColumn("doc_id",
                                        F.col("doc_id") + F.lit(int(next_id)))
         with_ids.persist()

@@ -63,6 +63,14 @@ from pdx_spark.operators.indexer import read_manifest
 
 _THETA_GUARD = 1e-9  # float-monotonicity guard on upper-bound comparisons
 
+
+def _pdf_df(spark, data: dict, schema) -> DataFrame:
+    """createDataFrame via pandas — takes the Arrow fast path instead of
+    per-row JVM conversion (matters at thousands of driver-side rows:
+    query-term frames, seed top-k, result materialization — all part of
+    the per-batch FIXED cost that bounds scaling)."""
+    return spark.createDataFrame(pd.DataFrame(data), schema=schema)
+
 # max (query, shard) routing pairs shipped via the scorer closure; above
 # this the cogroup channel carries routing (never collected to the driver)
 _ROUTING_CAP = 200_000
@@ -477,7 +485,8 @@ class Searcher:
     def search_batch(self, queries: list[tuple[int, str, int]], *,
                      exact: bool = False, predicate: str | None = None,
                      seed_shards: int = 2,
-                     two_phase_min_shards: int = 64) -> DataFrame:
+                     two_phase_min_shards: int = 64,
+                     force_two_phase: bool = False) -> DataFrame:
         """-> DataFrame(query_id, doc_id, score), per-query top-k
         (materialized — result sets are tiny, <= Σ k).
 
@@ -512,11 +521,21 @@ class Searcher:
         mask_df, pred_mode = self._mask_df(predicate)
 
         n_shards_total = -(-self.n_docs // self.cfg.docs_per_shard)
-        if exact or n_shards_total < max(two_phase_min_shards,
-                                         4 * seed_shards):
-            # pruning can't skip enough shards to pay for a second job
+        # exhaustive when pruning cannot pay: too few shards for skipping
+        # to matter, or the BATCH is so large that the seed phase alone
+        # would touch ~every shard (Q x seed_shards >= shards means the
+        # seed scan is already one full pass of I/O; the main scan would
+        # be a second). Work-based, not corpus-based — the same batch
+        # size picks two-phase on a bigger index. force_two_phase
+        # overrides (tests/bench exercise the pruned path explicitly).
+        big_batch = len(live) * seed_shards >= n_shards_total
+        if exact or (not force_two_phase
+                     and (n_shards_total < max(two_phase_min_shards,
+                                               4 * seed_shards)
+                          or big_batch)):
             self.last_plan = {"mode": "exhaustive",
-                              "n_shards": n_shards_total}
+                              "n_shards": n_shards_total,
+                              "big_batch": big_batch}
             qspec = [(q, ts, k, None) for q, ts, k in live]
             if mask_df is None:
                 res = self._map_scan(seg, qspec, idf)
@@ -529,8 +548,11 @@ class Searcher:
         # distributed; only BOUNDED slices of it ever reach the driver
         # (seed pairs <= seed_shards x Q; main pairs only when below
         # _ROUTING_CAP — otherwise the cogroup channel ships routing).
-        qterms = self.spark.createDataFrame(
-            [(int(q), t, float(idf[t])) for q, ts, _ in live for t in ts],
+        qt_rows = [(int(q), t, float(idf[t])) for q, ts, _ in live for t in ts]
+        qterms = _pdf_df(self.spark, {
+            "query_id": pd.Series([r[0] for r in qt_rows], dtype="int32"),
+            "term": pd.Series([r[1] for r in qt_rows], dtype=object),
+            "idf": pd.Series([r[2] for r in qt_rows], dtype="float64")},
             "query_id int, term string, idf double")
         bounds = (self.directory()
                   .filter(F.col("term").isin(all_terms))
@@ -581,8 +603,10 @@ class Searcher:
         # searcher.hpp:82-91's threshold role) falls out driver-side, and
         # the rows themselves are REUSED as the seed contribution to the
         # final merge — the seed scan is never thrown away or re-run.
-        seed_rows = [(int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
-                     for r in self._global_topk(seed_res, live).collect()]
+        seed_pdf = self._global_topk(seed_res, live).toPandas()  # Arrow
+        seed_rows = list(zip(seed_pdf["query_id"].astype(int),
+                             seed_pdf["doc_id"].astype(int),
+                             seed_pdf["score"].astype(float)))
         n_seed_hits: dict[int, int] = {}
         worst: dict[int, float] = {}
         for q, _, s in seed_rows:
@@ -590,10 +614,15 @@ class Searcher:
             worst[q] = min(worst.get(q, s), s)
         theta = {q: worst[q] for q, _, k in live
                  if n_seed_hits.get(q, 0) >= k}
-        theta_df = self.spark.createDataFrame(
-            [(int(q), float(t)) for q, t in theta.items()],
+        theta_df = _pdf_df(self.spark, {
+            "query_id": pd.Series([q for q in theta], dtype="int32"),
+            "theta": pd.Series([theta[q] for q in theta], dtype="float64")},
             "query_id int, theta double")
-        seed_df = self.spark.createDataFrame(seed_rows or [], schemas.RESULTS)
+        seed_df = _pdf_df(self.spark, {
+            "query_id": pd.Series([r[0] for r in seed_rows], dtype="int32"),
+            "doc_id": pd.Series([r[1] for r in seed_rows], dtype="int64"),
+            "score": pd.Series([r[2] for r in seed_rows], dtype="float64")},
+            schemas.RESULTS)
 
         # ---- main scan over (query, shard) pairs that can still beat θ.
         # ONE bounded collect (limit CAP+1) both sizes the survivor set
@@ -705,8 +734,9 @@ class Searcher:
         return out
 
     def _materialize(self, df: DataFrame) -> DataFrame:
-        rows = [(r["query_id"], r["doc_id"], r["score"]) for r in df.collect()]
-        return self.spark.createDataFrame(rows or [], schemas.RESULTS)
+        pdf = df.toPandas()  # Arrow both ways; <= sum(k) rows by construction
+        return self.spark.createDataFrame(pdf, schema=schemas.RESULTS) \
+            if len(pdf) else self.spark.createDataFrame([], schemas.RESULTS)
 
     # -- internals -----------------------------------------------------------
     def _filter_mode(self, predicate: str) -> str:
@@ -837,8 +867,10 @@ class Searcher:
         return seg.groupBy("shard").applyInPandas(fn, schema=schemas.RESULTS)
 
     def _global_topk(self, res: DataFrame, live) -> DataFrame:
-        kdf = self.spark.createDataFrame([(q, k) for q, _, k in live],
-                                         "query_id int, k int")
+        kdf = _pdf_df(self.spark, {
+            "query_id": pd.Series([q for q, _, _ in live], dtype="int32"),
+            "k": pd.Series([k for _, _, k in live], dtype="int32")},
+            "query_id int, k int")
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (res.join(F.broadcast(kdf), "query_id")
                 .withColumn("_rn", F.row_number().over(w))

@@ -83,7 +83,7 @@ def test_blocked_exhaustive_vs_oracle(searcher, tiny_oracle):
 
 def test_pruned_vs_oracle(searcher, tiny_oracle):
     # two_phase_min_shards=2 forces the θ-seeded path on the tiny fixture
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         want = tiny_oracle.topk(qtext, k)
         assert_rank_identical(collect_topk(res, qid), want, f"pruned q{qid}")
@@ -95,7 +95,7 @@ def test_pruned_vs_oracle_fixture_queryset(searcher, tiny_oracle):
     qpdf = make_queries_pdf(60)
     queries = [(int(r.query_id), r.query_text, int(r.k))
                for r in qpdf.itertuples()]
-    res = searcher.search_batch(queries, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(queries, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in queries:
         want = tiny_oracle.topk(qtext, k)
         assert_rank_identical(collect_topk(res, qid), want, f"fix q{qid}")

@@ -38,7 +38,7 @@ def test_filtered_matches_restricted_oracle(searcher, tiny_oracle, doc_meta,
                                             pred, pyfn):
     allowed = _allowed(doc_meta, pyfn)
     res = searcher.search_batch(QUERIES, predicate=pred,
-                                two_phase_min_shards=2).persist()
+                                two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         want = tiny_oracle.topk(qtext, k, allowed=allowed)
         assert_rank_identical(collect_topk(res, qid), want, f"{pred} q{qid}")

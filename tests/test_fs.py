@@ -66,7 +66,7 @@ def test_file_uri_roundtrip(spark, tiny_pdf, tmp_path):
     s = Searcher.load(spark, uri)
     assert s._map_scan_ok
     ora = _oracle(head)
-    res = s.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = s.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), ora.topk(qtext, k),
                               f"uri q{qid}")
@@ -79,7 +79,7 @@ def test_file_uri_roundtrip(spark, tiny_pdf, tmp_path):
     ora2 = _oracle(tiny_pdf)
     assert s2.n_docs == ora2.n_docs
     assert math.isclose(s2.avgdl, ora2.avgdl, rel_tol=1e-12)
-    res = s2.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = s2.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), ora2.topk(qtext, k),
                               f"uri-append q{qid}")
@@ -116,7 +116,7 @@ def test_compact_crash_before_commit_is_harmless(spark, tiny_pdf, tmp_path,
     # committed state untouched: loads, and answers are exact
     s = Searcher.load(spark, path)
     assert s.n_docs == ora.n_docs
-    res = s.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = s.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), ora.topk(qtext, k),
                               f"crash q{qid}")
@@ -125,7 +125,7 @@ def test_compact_crash_before_commit_is_harmless(spark, tiny_pdf, tmp_path,
     # retrying the compact on a fresh Maintainer succeeds and stays exact
     Maintainer(spark, path).compact()
     s2 = Searcher.load(spark, path)
-    res = s2.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = s2.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), ora.topk(qtext, k),
                               f"retry q{qid}")
@@ -180,7 +180,7 @@ def test_delete_crash_then_retry_keeps_stats_exact(spark, tiny_pdf, tmp_path,
     s = Searcher.load(spark, path)
     assert s.n_docs == ora.n_docs
     assert math.isclose(s.avgdl, ora.avgdl, rel_tol=1e-12)
-    res = s.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = s.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         got = collect_topk(res, qid)
         assert not (set(first + second) & {d for d, _ in got})
@@ -251,7 +251,7 @@ def test_multi_rowgroup_file_falls_back_to_cogroup(spark, tiny_pdf, tiny_oracle,
         assert_rank_identical(collect_topk(res, qid),
                               tiny_oracle.topk(qtext, k), f"cog q{qid}")
     # pruned path too (exercises seed scan + unioned main through cogroup)
-    res = s.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = s.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid),
                               tiny_oracle.topk(qtext, k), f"cog2 q{qid}")

@@ -58,7 +58,7 @@ def test_append_then_find(spark, tmp_path, corpus_pdfs):
     queries = list(QUERIES)
     if needle:
         queries.append((9, needle, 5))
-    res = searcher.search_batch(queries, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(queries, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in queries:
         want = oracle.topk(qtext, k)
         assert_rank_identical(collect_topk(res, qid), want, f"append q{qid}")
@@ -81,7 +81,7 @@ def test_delete_then_absent_and_compact(spark, tmp_path, corpus_pdfs):
     oracle = BM25Oracle(live_texts)
 
     searcher = Searcher.load(spark, path)
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         got = collect_topk(res, qid)
         assert not set(dead_ids) & {d for d, _ in got}
@@ -96,7 +96,7 @@ def test_delete_then_absent_and_compact(spark, tmp_path, corpus_pdfs):
     Maintainer(spark, path).compact()
     searcher = Searcher.load(spark, path)
     assert read_manifest(path)["tombstones"] == 0
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         want = oracle.topk(qtext, k)
         assert_rank_identical(collect_topk(res, qid), want, f"compacted q{qid}")
@@ -192,7 +192,7 @@ def test_append_is_incremental_and_idempotent(spark, tmp_path, corpus_pdfs):
     searcher = Searcher.load(spark, path)
     assert searcher.n_docs == oracle.n_docs
     assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
                               f"incr q{qid}")
@@ -234,7 +234,7 @@ def test_targeted_compact(spark, tmp_path, corpus_pdfs):
     searcher = Searcher.load(spark, path)
     assert searcher.n_docs == oracle.n_docs
     assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         got = collect_topk(res, qid)
         assert not set(dead_ids) & {d for d, _ in got}
@@ -252,7 +252,7 @@ def test_targeted_compact(spark, tmp_path, corpus_pdfs):
     assert not os.path.exists(os.path.join(path, "segments", "base"))
     assert not os.path.exists(os.path.join(path, "docs"))
     searcher = Searcher.load(spark, path)
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
                               f"full-compact q{qid}")
@@ -291,7 +291,7 @@ def test_minor_stats_compaction_policy(spark, tmp_path, corpus_pdfs):
     searcher = Searcher.load(spark, path)
     assert searcher.n_docs == oracle.n_docs
     assert math.isclose(searcher.avgdl, oracle.avgdl, rel_tol=1e-12)
-    res = searcher.search_batch(QUERIES, two_phase_min_shards=2).persist()
+    res = searcher.search_batch(QUERIES, two_phase_min_shards=2, force_two_phase=True).persist()
     for qid, qtext, k in QUERIES:
         assert_rank_identical(collect_topk(res, qid), oracle.topk(qtext, k),
                               f"policy q{qid}")

@@ -37,6 +37,57 @@ sys.path.insert(0, ROOT)
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 
+def _disk_spin(args):
+    """Write-then-read a stream through /tmp with fsync — the resource
+    shuffle blocks and parquet chunks actually consume. Returns MB
+    moved."""
+    import time as _t
+    idx, mb, cores = args
+    if cores:
+        try:
+            os.sched_setaffinity(0, cores)
+        except Exception:
+            pass
+    path = f"/tmp/pdx_disk_spin_{idx}"
+    buf = b"\xa5" * (8 << 20)
+    t0 = _t.time()
+    with open(path, "wb") as f:
+        for _ in range(mb // 8):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    total = 0
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(8 << 20)
+            if not b:
+                break
+            total += len(b)
+    os.remove(path)
+    return (mb + total / (1 << 20)) / (_t.time() - t0)
+
+
+def disk_calibration(low_procs: int, high_procs: int,
+                     mb_per_proc: int = 512) -> dict:
+    """Aggregate /tmp write+read MB/s at `low` vs `high` parallel
+    processes (each pinned to its own core). Build/shuffle I/O all goes
+    through this one block device; a perfectly scaling job can never
+    beat (thr_high/thr_low)/(high/low) on the efficiency metric, so the
+    measured ceiling contextualizes the raw build number — the same
+    argument (and honesty bar) as tools/scaling_run.py's memory-
+    bandwidth ceiling, now for the disk."""
+    import multiprocessing as mp
+    out = {}
+    for n in (low_procs, high_procs):
+        with mp.Pool(n) as pool:
+            res = pool.map(_disk_spin,
+                           [(i, mb_per_proc, {i}) for i in range(n)])
+        out[n] = sum(res)
+    cap = (out[high_procs] / out[low_procs]) / (high_procs / low_procs)
+    return {"agg_mb_per_sec": {str(k): round(v, 1) for k, v in out.items()},
+            "disk_efficiency_ceiling": round(cap, 3)}
+
+
 def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
             trans_path: str, n_queries: int, warmup: bool,
             pin: bool = False, driver_cores: str = "28-31") -> dict:
@@ -103,6 +154,11 @@ def main():
     from pdx_spark.sources.fixtures import transcripts_path
     trans_path = transcripts_path(args.scale)
 
+    lo_c0 = args.workers_low * args.cores_per_worker
+    hi_c0 = args.workers_high * args.cores_per_worker
+    calib = disk_calibration(lo_c0, hi_c0)
+    print(f"# disk calibration: {calib}", file=sys.stderr, flush=True)
+
     legs: dict[int, list] = {args.workers_high: [], args.workers_low: []}
     for rep in range(args.repeats):
         for w in (args.workers_high, args.workers_low):
@@ -140,6 +196,10 @@ def main():
             "build": round((build_lo / build_hi) / ratio, 3),
             "query": round((query_lo / query_hi) / ratio, 3),
         },
+        "disk_calibration": calib,
+        "build_efficiency_vs_disk_ceiling": round(
+            (build_lo / build_hi) / ratio
+            / max(calib["disk_efficiency_ceiling"], 1e-9), 3),
         "repeats": args.repeats,
         "note": "best-of-N per leg, legs interleaved; each executor is a "
                 "separate JVM process with its own python workers "
@@ -160,8 +220,22 @@ rule's two-cluster-size run mode with process isolation. Best of
 
 | phase | {lo_w} exec ({lo_c}c) | {hi_w} exec ({hi_c}c) | thpt {lo_c}c | thpt {hi_c}c | efficiency N->4N |
 |---|---|---|---|---|---|
-| index build | {build_lo:.1f}s | {build_hi:.1f}s | {n_turns/build_lo:,.0f} turns/s | {n_turns/build_hi:,.0f} turns/s | **{result['scaling_efficiency']['build']:.2f}** |
+| index build | {build_lo:.1f}s | {build_hi:.1f}s | {n_turns/build_lo:,.0f} turns/s | {n_turns/build_hi:,.0f} turns/s | **{result['scaling_efficiency']['build']:.2f}** (vs disk ceiling {result['build_efficiency_vs_disk_ceiling']:.2f}) |
 | query batch ({args.queries}q) | {query_lo:.2f}s | {query_hi:.2f}s | {args.queries/query_lo:.1f} q/s | {args.queries/query_hi:.1f} q/s | **{result['scaling_efficiency']['query']:.2f}** |
+
+Disk calibration (same host, same moment): {lo_c} parallel pinned
+writer+reader processes move
+{calib['agg_mb_per_sec'][str(lo_c)]:,.0f} MB/s aggregate through /tmp
+(ext4 on one virtio disk — where EVERY shuffle block and parquet chunk
+lands); {hi_c} processes move
+{calib['agg_mb_per_sec'][str(hi_c)]:,.0f} MB/s — a
+(thr_4N/thr_N)/4 ceiling of
+**{calib['disk_efficiency_ceiling']:.2f}**. The build is
+shuffle/write-heavy (range shuffle of the corpus, segment encode
+shuffle, parquet writes), so its raw N->4N number is bounded by this
+shared-device ceiling; on a real cluster every executor node brings
+its own disks. The query batch reads a page-cached index and is not
+disk-bound, so no normalization is applied to it.
 
 Raw JSON: `{json.dumps(result)}`
 """
