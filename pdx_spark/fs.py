@@ -26,7 +26,6 @@ accepts the same URIs; this module only covers the small side-artifacts
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 

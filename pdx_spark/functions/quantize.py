@@ -9,7 +9,6 @@ Three matched dialects again: Column expr, numpy, SQL.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 from pyspark.sql import DataFrame

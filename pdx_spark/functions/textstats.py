@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pdx_spark.config import TOKEN_PATTERN
 from pdx_spark.functions.tokenize import tokens_col
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.

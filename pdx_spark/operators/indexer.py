@@ -274,8 +274,16 @@ class Indexer:
             timings["corpus_stats"] = round(time.time() - tt, 2)
 
             tt = time.time()
-            ts = C.term_stats_from_doc_postings(dp, avgdl, self.params)
-            ts.sort("term").write.mode("overwrite").parquet(self._p(path, "term_stats"))
+            # persist before the global sort: range-sort runs a sampling
+            # pass first, which would otherwise re-run the whole Arrow
+            # partial-agg over the corpus a second time (measured: the
+            # term_stats stage barely scaled with cores because both
+            # passes paid the full scan)
+            ts = C.term_stats_from_doc_postings(dp, avgdl, self.params) \
+                .persist()
+            ts.sort("term").write.mode("overwrite").parquet(
+                self._p(path, "term_stats"))
+            ts.unpersist()
             timings["term_stats"] = round(time.time() - tt, 2)
             self._posts_cache = dp
 

@@ -75,6 +75,12 @@ def _pdf_df(spark, data: dict, schema) -> DataFrame:
 # this the cogroup channel carries routing (never collected to the driver)
 _ROUTING_CAP = 200_000
 
+# adaptive-planner feedback: after this many consecutive unrouted
+# fallbacks (θ pruned nothing), skip the seed phase; re-probe two-phase
+# after this many bypassed batches
+_UNROUTED_BYPASS = 2
+_BYPASS_REPROBE = 10
+
 # cogroup side-channel row kinds (one aux frame carries both because
 # applyInPandas cogroups exactly two frames); aux rows are
 # (shard long, kind int, id long, p int)
@@ -355,6 +361,14 @@ class Searcher:
         self.avgdl = self.manifest["avgdl"]
         self._sel_sample = None  # cached docs sample for selectivity est.
         self._idf_cache: dict[str, float] = {}  # term -> idf (load-time N)
+        # outcome feedback for the adaptive planner: consecutive batches
+        # whose θ could not prune (unrouted fallback) — after
+        # _UNROUTED_BYPASS of them, skip the seed phase entirely and
+        # re-probe two-phase every _BYPASS_REPROBE batches (runtime
+        # adaptivity in the spirit of the reference's selectivity-
+        # adaptive scan switch, searcher.hpp:321-345)
+        self._unrouted_streak = 0
+        self._bypassed = 0
         # populated by every search_batch: which physical strategy ran
         # ({mode: exhaustive|routed|unrouted|cogroup, ...counts}) — the
         # observability hook ops dashboards and tests read
@@ -529,13 +543,22 @@ class Searcher:
         # size picks two-phase on a bigger index. force_two_phase
         # overrides (tests/bench exercise the pruned path explicitly).
         big_batch = len(live) * seed_shards >= n_shards_total
+        bypass = False
+        if self._unrouted_streak >= _UNROUTED_BYPASS:
+            if self._bypassed >= _BYPASS_REPROBE:
+                self._unrouted_streak = 0  # re-probe two-phase
+                self._bypassed = 0
+            else:
+                bypass = True
+                self._bypassed += 1
         if exact or (not force_two_phase
                      and (n_shards_total < max(two_phase_min_shards,
                                                4 * seed_shards)
-                          or big_batch)):
+                          or big_batch or bypass)):
             self.last_plan = {"mode": "exhaustive",
                               "n_shards": n_shards_total,
-                              "big_batch": big_batch}
+                              "big_batch": big_batch,
+                              "unrouted_bypass": bypass}
             qspec = [(q, ts, k, None) for q, ts, k in live]
             if mask_df is None:
                 res = self._map_scan(seg, qspec, idf)
@@ -651,6 +674,7 @@ class Searcher:
             self.last_plan = {"mode": "unrouted", "n_main": n_main,
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
+            self._unrouted_streak += 1
             res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing)
             out = self._materialize(
                 self._global_topk(seed_df.unionByName(res), live))
@@ -664,6 +688,7 @@ class Searcher:
                               "n_main_shards": len(routing),
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
+            self._unrouted_streak = 0
             if routing:
                 main_seg = seg.filter(F.col("shard").isin(sorted(routing)))
                 main_res = self._map_scan(main_seg, qspec1, idf,
@@ -680,6 +705,7 @@ class Searcher:
             self.last_plan = {"mode": "cogroup", "n_main": n_main,
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
+            self._unrouted_streak = 0
             seed_asg = self.spark.createDataFrame(
                 sorted(seed_set), "query_id int, shard long")
             main_routed = main_asg.join(seed_asg, ["query_id", "shard"],

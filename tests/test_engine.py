@@ -164,3 +164,19 @@ def test_default_adaptive_path_many_shards(spark, tiny_pdf, tiny_oracle,
         want = tiny_oracle.topk(qtext, k)
         assert_rank_identical(got, want, f"adaptive q{qid}")
     res.unpersist()
+
+    # outcome feedback: after consecutive unrouted fallbacks (θ prunes
+    # nothing on this corpus) the planner bypasses the seed phase and
+    # goes straight to the single exhaustive pass — rank-identity holds
+    from pdx_spark.operators.searcher import _UNROUTED_BYPASS
+    hot = [(0, "w0000 w0001", 10)]
+    for _ in range(_UNROUTED_BYPASS + 1):
+        s.search_batch(hot)
+    assert s.last_plan["mode"] == "exhaustive" \
+        and s.last_plan["unrouted_bypass"], s.last_plan
+    res = s.search_batch(queries).persist()   # bypassed batch, same answers
+    assert s.last_plan["mode"] == "exhaustive"
+    for qid, qtext, k in queries:
+        assert_rank_identical(collect_topk(res, qid),
+                              tiny_oracle.topk(qtext, k), f"bypass q{qid}")
+    res.unpersist()

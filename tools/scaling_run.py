@@ -206,16 +206,22 @@ threads, not extra work):
 Raw JSON: `{json.dumps(result)}`
 """
     header = "# BENCH — measured performance + scaling evidence\n\n"
-    body = ""
+    body, tail = "", ""
+    marker = "## Measured (latest scaling run)"
+    mp_marker = "## Measured (multi-process"
     if os.path.exists(bench_md):
         with open(bench_md) as f:
             old = f.read()
-        if "## Measured" in old:
+        if marker in old:
+            body = old.split(marker)[0]
+        elif "## Measured" in old:
             body = old.split("## Measured")[0]
         else:
             body = old + "\n"
+        if mp_marker in old:  # preserve the multi-process section
+            tail = mp_marker + old.split(mp_marker, 1)[1]
     with open(bench_md, "w") as f:
-        f.write((body or header) + section)
+        f.write((body or header) + section + "\n" + tail)
 
 
 if __name__ == "__main__":
