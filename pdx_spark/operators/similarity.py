@@ -303,35 +303,40 @@ class AnnIndex:
     MANIFEST = "ann_manifest.json"
 
     def __init__(self, spark, path: str, meta: dict):
+        from pdx_spark.fs import index_fs
         self.spark = spark
         self.path = path
+        self.fs = index_fs(spark, path)
         self.meta = meta
+
+    @classmethod
+    def _write_vectors(cls, spark, bucketed: DataFrame, path: str) -> int:
+        """Stage + rename-commit the bucket-sorted vectors through the
+        filesystem seam (same URI reach as the BM25 index: file:,
+        hdfs:, s3a:, ...); returns the row count."""
+        from pdx_spark.fs import IndexFS, index_fs
+        fs = index_fs(spark, path)
+        tmp = IndexFS.join(path, "vectors.tmp")
+        bucketed.sortWithinPartitions("bucket") \
+                .write.mode("overwrite").parquet(tmp)
+        final = IndexFS.join(path, "vectors")
+        fs.rename(tmp, final)
+        return spark.read.parquet(final).count()
 
     @classmethod
     def build(cls, emb: DataFrame, path: str, n_planes: int = 6,
               id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = SEED) -> "AnnIndex":
-        import json
-        import os
         spark = emb.sparkSession
         dim = _dim_of(emb, vec_col)
         bucketed = lsh_assign(emb, dim, n_planes, vec_col, seed) \
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("embedding"), "bucket")
-        os.makedirs(path, exist_ok=True)
-        tmp = os.path.join(path, "vectors.tmp")
-        bucketed.sortWithinPartitions("bucket") \
-                .write.mode("overwrite").parquet(tmp)
-        final = os.path.join(path, "vectors")
-        if os.path.exists(final):
-            import shutil
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        n = spark.read.parquet(final).count()
+        n = cls._write_vectors(spark, bucketed, path)
         meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
                 "seed": seed, "n_vectors": int(n), "metric": "cosine",
                 "format_version": 1}
-        cls._commit_manifest(path, meta)
+        cls._commit_manifest(spark, path, meta)
         return cls(spark, path, meta)
 
     @classmethod
@@ -342,50 +347,42 @@ class AnnIndex:
         """IVF variant: learned k-means buckets (clustering.hpp:28-120);
         centroids persist in the manifest (n_clusters x dim floats — KB,
         not data-scale)."""
-        import os
-        import shutil
         spark = emb.sparkSession
         centroids = ivf_train(emb, n_clusters, vec_col, seed, sample_fraction)
         assigned = ivf_assign(
             emb.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("embedding")),
             centroids, "embedding")
-        os.makedirs(path, exist_ok=True)
-        tmp = os.path.join(path, "vectors.tmp")
-        assigned.sortWithinPartitions("bucket") \
-                .write.mode("overwrite").parquet(tmp)
-        final = os.path.join(path, "vectors")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        n = spark.read.parquet(final).count()
+        n = cls._write_vectors(spark, assigned, path)
         meta = {"kind": "ivf", "dim": int(centroids.shape[1]),
                 "n_clusters": int(n_clusters), "seed": seed,
                 "n_vectors": int(n), "metric": "cosine",
                 "centroids": [[float(x) for x in c] for c in centroids],
                 "format_version": 1}
-        cls._commit_manifest(path, meta)
+        cls._commit_manifest(spark, path, meta)
         return cls(spark, path, meta)
 
     @staticmethod
-    def _commit_manifest(path: str, meta: dict) -> None:
+    def _commit_manifest(spark, path: str, meta: dict) -> None:
         import json
-        import os
-        mtmp = os.path.join(path, AnnIndex.MANIFEST + ".tmp")
-        with open(mtmp, "w") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
-        os.replace(mtmp, os.path.join(path, AnnIndex.MANIFEST))
+
+        from pdx_spark.fs import IndexFS, index_fs
+        index_fs(spark, path).write_text_atomic(
+            IndexFS.join(path, AnnIndex.MANIFEST),
+            json.dumps(meta, indent=1, sort_keys=True))
 
     @classmethod
     def load(cls, spark, path: str) -> "AnnIndex":
         import json
-        import os
-        with open(os.path.join(path, cls.MANIFEST)) as f:
-            return cls(spark, path, json.load(f))
+
+        from pdx_spark.fs import IndexFS, index_fs
+        meta = json.loads(index_fs(spark, path).read_text(
+            IndexFS.join(path, cls.MANIFEST)))
+        return cls(spark, path, meta)
 
     def vectors(self) -> DataFrame:
-        import os
-        return self.spark.read.parquet(os.path.join(self.path, "vectors"))
+        from pdx_spark.fs import IndexFS
+        return self.spark.read.parquet(IndexFS.join(self.path, "vectors"))
 
     def _centroids(self) -> np.ndarray:
         return np.array(self.meta["centroids"], dtype=np.float64)

@@ -256,3 +256,26 @@ def test_multi_rowgroup_file_falls_back_to_cogroup(spark, tiny_pdf, tiny_oracle,
         assert_rank_identical(collect_topk(res, qid),
                               tiny_oracle.topk(qtext, k), f"cog2 q{qid}")
     res.unpersist()
+
+
+def test_ann_index_file_uri_roundtrip(spark, tmp_path):
+    """AnnIndex build/load/query through a file: URI — the similarity
+    index uses the same filesystem seam as the BM25 index."""
+    import numpy as np
+
+    from pdx_spark.operators.similarity import AnnIndex, brute_force_topk
+
+    rng = np.random.default_rng(42)
+    E = rng.standard_normal((200, 12)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, E[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    uri = "file:" + str(tmp_path / "ann_uri")
+    built = AnnIndex.build(emb, uri, n_planes=4)
+    loaded = AnnIndex.load(spark, uri)
+    assert loaded.meta == built.meta
+    q = E[7].tolist()
+    got = [r["vec_id"] for r in loaded.topk(q, k=10, nprobe=16).collect()]
+    bf = [r["vec_id"] for r in
+          brute_force_topk(emb, q, k=10, metric="cosine").collect()]
+    assert got == bf  # full probe == exact, through the URI
