@@ -176,8 +176,12 @@ class Maintainer:
                 self.spark.sparkContext.defaultParallelism, 8))
         with_ids = with_ids.withColumn("doc_id",
                                        F.col("doc_id") + F.lit(int(next_id)))
-        with_ids.persist()
-        dp = C.doc_postings(with_ids).persist()
+        # same single-text-pass shape as Indexer.build: metadata rides
+        # through the Arrow tokenize, only the (text-free) postings frame
+        # is ever cached
+        meta = with_ids.withColumn(
+            "text_hash", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))))
+        dp = C.doc_postings(meta, extra_cols=C.DOC_META_COLS).persist()
         # delta stats straight off the cached postings — no write-then-
         # re-read round trip (the batch is materialized exactly once)
         drow = dp.agg(F.count("*").alias("n"),
@@ -191,7 +195,7 @@ class Maintainer:
         # 1) docs delta — staged; unreferenced until the manifest commit
         tt = time.time()
         docs_delta = f"docs_delta-{gen}"
-        new_docs = C.build_docs(with_ids, dp)
+        new_docs = dp.select(*[f.name for f in schemas.DOCS.fields])
         _atomic_write(new_docs, self._p(docs_delta), fs=self.fs)
         timings["docs"] = round(time.time() - tt, 2)
 
@@ -202,7 +206,8 @@ class Maintainer:
         # memory instead of decoding parquet again.
         tt = time.time()
         delta_name = f"deltas/delta-{gen}"
-        posts = dp.withColumn("shard", self.cfg.shard_of_expr())
+        posts = (dp.select("doc_id", "dl", "terms", "tfs")
+                 .withColumn("shard", self.cfg.shard_of_expr()))
         enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
         seg = (posts.groupBy("shard")
                .applyInPandas(enc, schema=schemas.SEGMENTS).persist())
@@ -215,7 +220,8 @@ class Maintainer:
         # 3) per-term stats DELTA (merged at read — base never rewritten)
         tt = time.time()
         ts_delta = f"term_stats_delta-{gen}"
-        delta_ts = C.term_stats_from_doc_postings(dp, avgdl, self.params) \
+        delta_ts = C.term_stats_from_doc_postings(
+            dp.select("doc_id", "dl", "terms", "tfs"), avgdl, self.params) \
             .select("term", F.col("df").cast("long").alias("df"),
                     F.col("max_tf").cast("int").alias("max_tf"), "gmax")
         _atomic_write(delta_ts, self._p(ts_delta), ["term"], fs=self.fs)
@@ -228,7 +234,6 @@ class Maintainer:
         dq = write_directory(seg, self._p(dir_delta), self.fs)
         timings["directory"] = round(time.time() - tt, 2)
 
-        with_ids.unpersist()
         dp.unpersist()
         seg.unpersist()
 
