@@ -130,10 +130,12 @@ class HadoopFS(IndexFS):
 
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
-        juri = self._jvm.java.net.URI(root)
+        self._uri = self._jvm.java.net.URI(root)
         self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
-            juri, self._conf)
+            self._uri, self._conf)
+        self._fc = None  # lazy FileContext (atomic overwrite renames)
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -150,25 +152,66 @@ class HadoopFS(IndexFS):
             stream.close()
 
     def write_text_atomic(self, path, data):
+        """tmp + OVERWRITE rename: the previous file (e.g. the manifest —
+        the index's single commit point) stays readable at `path` until
+        the instant the new one replaces it. The old delete-then-rename
+        protocol had a crash window with NO manifest at all (round-3
+        ADVICE, medium)."""
         tmp = path + ".tmp"
         out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
-        self._fs.delete(self._p(path), False)
-        if not self._fs.rename(self._p(tmp), self._p(path)):
-            raise IOError(f"rename {tmp} -> {path} failed")
+        self._rename_overwrite(tmp, path)
+
+    def _rename_overwrite(self, src, dst):
+        """FileContext.rename(OVERWRITE): atomic replace on HDFS (and
+        a single-RPC copy-swap on object stores). Falls back to
+        delete+rename only when the connector has no AbstractFileSystem
+        binding (the pre-fix behavior, with its narrow window)."""
+        if self._fc is not False:  # False = binding known-missing
+            try:
+                if self._fc is None:
+                    self._fc = self._jvm.org.apache.hadoop.fs.FileContext \
+                        .getFileContext(self._uri, self._conf)
+                ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gateway.new_array(ren, 1)
+                opts[0] = ren.OVERWRITE
+                self._fc.rename(self._p(src), self._p(dst), opts)
+                return
+            except Exception:
+                self._fc = False  # don't retry a missing binding per call
+        self._fs.delete(self._p(dst), False)
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
 
     def delete(self, path):
         self._fs.delete(self._p(path), True)
 
     def rename(self, src, dst):
+        """Directory commit rename. Hadoop's FileSystem.rename moves src
+        INTO an existing dst dir, so an existing dst must be moved out of
+        the way first — but never deleted before the new artifact is in
+        place: dst is parked at dst+".stale", src swings in, then the
+        stale copy is dropped. A crash mid-sequence leaves the old
+        artifact recoverable at .stale (this only arises on crash-RETRY
+        paths: normal commits target fresh gen-named dirs — single-writer
+        assumption, see maintenance.py)."""
         parent = dst.rsplit("/", 1)[0]
         self._fs.mkdirs(self._p(parent))
-        self._fs.delete(self._p(dst), True)
+        stale = None
+        if self._fs.exists(self._p(dst)):
+            stale = dst + ".stale"
+            self._fs.delete(self._p(stale), True)
+            if not self._fs.rename(self._p(dst), self._p(stale)):
+                raise IOError(f"rename {dst} -> {stale} failed")
         if not self._fs.rename(self._p(src), self._p(dst)):
+            if stale is not None:  # restore the previous artifact
+                self._fs.rename(self._p(stale), self._p(dst))
             raise IOError(f"rename {src} -> {dst} failed")
+        if stale is not None:
+            self._fs.delete(self._p(stale), True)
 
     def parquet_files(self, path):
         out = []

@@ -361,6 +361,11 @@ class Searcher:
         self.avgdl = self.manifest["avgdl"]
         self._sel_sample = None  # cached docs sample for selectivity est.
         self._idf_cache: dict[str, float] = {}  # term -> idf (load-time N)
+        # warm two-phase planning: the deduplicated, dequantized directory
+        # frame persists on first use so later batches plan from executor
+        # cache instead of re-reading (and re-merging) the directory
+        # parquet every time
+        self._dir_df: DataFrame | None = None
         # outcome feedback for the adaptive planner: consecutive batches
         # whose θ could not prune (unrouted fallback) — after
         # _UNROUTED_BYPASS of them, skip the seed phase entirely and
@@ -369,6 +374,12 @@ class Searcher:
         # adaptive scan switch, searcher.hpp:321-345)
         self._unrouted_streak = 0
         self._bypassed = 0
+        # workload key for the bypass: smallest live-query count among the
+        # batches that fell back — bypass applies only to batches of
+        # comparable-or-larger size, so a stream of small selective
+        # queries after two big unselective batches still gets two-phase
+        # pruning (ADVICE r3: don't make the streak global)
+        self._unrouted_min_live: int | None = None
         # populated by every search_batch: which physical strategy ran
         # ({mode: exhaustive|routed|unrouted|cogroup, ...counts}) — the
         # observability hook ops dashboards and tests read
@@ -548,7 +559,11 @@ class Searcher:
             if self._bypassed >= _BYPASS_REPROBE:
                 self._unrouted_streak = 0  # re-probe two-phase
                 self._bypassed = 0
-            else:
+            elif (self._unrouted_min_live is None
+                    or 2 * len(live) >= self._unrouted_min_live):
+                # bypass only batches that RESEMBLE the ones that fell
+                # back (size-keyed): a much smaller batch prunes
+                # differently and deserves its own two-phase probe
                 bypass = True
                 self._bypassed += 1
         if exact or (not force_two_phase
@@ -564,7 +579,7 @@ class Searcher:
                 res = self._map_scan(seg, qspec, idf)
             else:
                 res = self._scan(seg, qspec, idf, mask_df, pred_mode)
-            return self._materialize(self._global_topk(res, live))
+            return self._global_topk(res, live)
 
         # ---- Spark-side plan (S2/S3 analog): per-(query, shard) upper
         # bounds from the directory slice of the query terms, computed
@@ -577,16 +592,22 @@ class Searcher:
             "term": pd.Series([r[1] for r in qt_rows], dtype=object),
             "idf": pd.Series([r[2] for r in qt_rows], dtype="float64")},
             "query_id int, term string, idf double")
-        bounds = (self.directory()
-                  .filter(F.col("term").isin(all_terms))
-                  .select("term", "shard", "max_tf", "min_dl"))
-        if self.manifest.get("dir_deltas"):
-            # base + append-delta rows can repeat a (term, shard) key;
-            # collapse to one admissible bound so ub isn't inflated.
-            # (Delta-free indexes skip this shuffle — keys are unique.)
-            bounds = (bounds.groupBy("term", "shard")
-                      .agg(F.max("max_tf").alias("max_tf"),
-                           F.min("min_dl").alias("min_dl")))
+        if self._dir_df is None:
+            bounds = self.directory().select(
+                "term", "shard", "max_tf", "min_dl")
+            if self.manifest.get("dir_deltas"):
+                # base + append-delta rows can repeat a (term, shard) key;
+                # collapse to one admissible bound so ub isn't inflated.
+                # (Delta-free indexes skip this shuffle — keys are unique.)
+                bounds = (bounds.groupBy("term", "shard")
+                          .agg(F.max("max_tf").alias("max_tf"),
+                               F.min("min_dl").alias("min_dl")))
+            # warm-Searcher cache: later batches plan against the
+            # executor-cached (deduped, dequantized) directory instead of
+            # re-reading + re-merging parquet per batch (MEMORY_AND_DISK
+            # default — the directory is a small fraction of the index)
+            self._dir_df = bounds.persist()
+        bounds = self._dir_df.filter(F.col("term").isin(all_terms))
         ub_df = (bounds
                  .join(F.broadcast(qterms), "term")
                  .withColumn("contrib", F.col("idf") * tfnorm_col(
@@ -675,9 +696,10 @@ class Searcher:
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
             self._unrouted_streak += 1
+            self._unrouted_min_live = min(
+                self._unrouted_min_live or (1 << 30), len(live))
             res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing)
-            out = self._materialize(
-                self._global_topk(seed_df.unionByName(res), live))
+            out = self._global_topk(seed_df.unionByName(res), live)
         elif mask_df is None and n_main <= _ROUTING_CAP:
             pairs = [(int(r["query_id"]), int(r["shard"])) for r in peek]
             routing: dict[int, set] = {}
@@ -689,12 +711,12 @@ class Searcher:
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
             self._unrouted_streak = 0
+            self._unrouted_min_live = None
             if routing:
                 main_seg = seg.filter(F.col("shard").isin(sorted(routing)))
                 main_res = self._map_scan(main_seg, qspec1, idf,
                                           routing=routing)
-                out = self._materialize(self._global_topk(
-                    seed_df.unionByName(main_res), live))
+                out = self._global_topk(seed_df.unionByName(main_res), live)
             else:
                 # every surviving pair was a seed pair: the collected
                 # seed top-k IS the answer — zero further jobs
@@ -706,6 +728,7 @@ class Searcher:
                               "n_shards": n_shards_total,
                               "n_queries": len(live)}
             self._unrouted_streak = 0
+            self._unrouted_min_live = None
             seed_asg = self.spark.createDataFrame(
                 sorted(seed_set), "query_id int, shard long")
             main_routed = main_asg.join(seed_asg, ["query_id", "shard"],

@@ -279,3 +279,42 @@ def test_ann_index_file_uri_roundtrip(spark, tmp_path):
     bf = [r["vec_id"] for r in
           brute_force_topk(emb, q, k=10, metric="cosine").collect()]
     assert got == bf  # full probe == exact, through the URI
+
+
+def test_hadoopfs_overwrite_rename_never_drops_manifest(spark, tmp_path):
+    """Round-3 ADVICE (medium): overwriting a manifest through HadoopFS
+    must use an atomic OVERWRITE rename — at no point may the target be
+    absent. Exercised on a file: URI (same py4j FileContext path as
+    hdfs:/s3a:); also asserts FileContext is actually used, not the
+    delete+rename fallback."""
+    from pdx_spark.fs import HadoopFS, IndexFS
+
+    root = "file://" + str(tmp_path)
+    fs = HadoopFS(spark, root)
+    p = IndexFS.join(root, "sub", "manifest.json")
+    fs.write_text_atomic(p, "v1")
+    assert fs.read_text(p) == "v1"
+    fs.write_text_atomic(p, "v2")  # overwrite of an existing file
+    assert fs.read_text(p) == "v2"
+    assert fs._fc not in (None, False), \
+        "FileContext binding unavailable — fell back to delete+rename"
+
+
+def test_hadoopfs_dir_rename_parks_existing_dst(spark, tmp_path):
+    """HadoopFS.rename onto an existing directory must REPLACE it (not
+    move src inside it, Hadoop's default), and the old artifact is
+    parked at .stale until the new one is in place."""
+    import os
+
+    from pdx_spark.fs import HadoopFS, IndexFS
+
+    root = "file://" + str(tmp_path)
+    fs = HadoopFS(spark, root)
+    src, dst = IndexFS.join(root, "src"), IndexFS.join(root, "dst")
+    for d, content in ((src, "new"), (dst, "old")):
+        fs.write_text_atomic(IndexFS.join(d, "f.txt"), content)
+    fs.rename(src, dst)
+    assert fs.read_text(IndexFS.join(dst, "f.txt")) == "new"
+    assert not fs.exists(src)
+    assert not fs.exists(dst + ".stale")  # stale copy cleaned up
+    assert sorted(os.listdir(tmp_path)) == ["dst"]
