@@ -369,7 +369,8 @@ def _ann_index(spark, sf_dir):
     if sf_dir not in _ANN_IDX_CACHE:
         path = os.path.join(tempfile.gettempdir(),
                             "pdx_ann_" + sf_dir.strip("/").replace("/", "_"))
-        AnnIndex.build(_emb(spark, sf_dir), path, n_planes=6)
+        AnnIndex.build(_emb(spark, sf_dir), path, n_planes=6,
+                       meta_cols=("label",))
         _ANN_IDX_CACHE[sf_dir] = path
     return AnnIndex.load(spark, _ANN_IDX_CACHE[sf_dir])
 
@@ -407,6 +408,19 @@ def q_ann_ivf(spark, sf_dir):
     qvec = list(idx.vectors().filter(F.col("vec_id") == 0)
                 .select("embedding").collect()[0][0])
     res = idx.topk(qvec, k=10, nprobe=16)
+    return res.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round("score", 6).alias("cosine"))
+
+
+def q_ann_filtered(spark, sf_dir):
+    """FilteredSearch over vectors (reference F1 applied to its literal
+    domain, index.hpp:273-280): attribute predicate evaluated BEFORE
+    scoring, pushed into the probed parquet scan. Full probe ==> the
+    WHERE-clause exact-cosine SQL is a true oracle."""
+    idx = _ann_index(spark, sf_dir)
+    qvec = list(idx.vectors().filter(F.col("vec_id") == 0)
+                .select("embedding").collect()[0][0])
+    res = idx.topk(qvec, k=10, nprobe=64, predicate="label % 2 = 1")
     return res.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.round("score", 6).alias("cosine"))
 
@@ -640,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_filtered": q_ann_filtered,
         "ann_lsh_batch": q_ann_lsh_batch,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -938,6 +953,14 @@ def oracle_sql() -> dict[str, str]:
         # full probe (nprobe = n_clusters) scans every learned bucket =>
         # provably equal to exact top-k; true oracle for the IVF path
         "ann_ivf": _ANN_TOPK_SQL.format(qid=0, extra=""),
+        "ann_filtered": """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label % 2 = 1
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""",
         "ann_lsh_batch": " UNION ALL ".join(
             "SELECT * FROM (" + _ANN_TOPK_SQL.format(
                 qid=q, extra=f"{q} AS query_id,") + ")"

@@ -290,15 +290,27 @@ def ivf_topk_batch(assigned: DataFrame, centroids: np.ndarray,
 # ---- persisted ANN index (save/load parity with the reference's
 # index_factory.save/load, python/pdxearch/index_factory.py:47-66) ----
 
+# centroid matrices up to this many floats inline in the JSON manifest;
+# larger ones (realistic ANN: 4096 clusters x 1024 dims would be ~100 MB
+# of JSON — round-3 ADVICE) persist as a parquet side artifact through
+# the same fs seam
+CENTROID_INLINE_MAX = 8192
+
+
 class AnnIndex:
     """Bucketed ANN index persisted as an artifact: bucketed vectors
     (parquet, sorted by bucket for row-group pruning on probe filters) +
     a JSON manifest carrying (kind, dim, params, n_vectors,
     format_version). Two bucketings, one artifact format:
     kind="lsh" (random hyperplanes) and kind="ivf" (learned k-means
-    centroids, stored in the manifest — the reference's literal IVF,
-    ivf_wrapper.hpp + clustering.hpp). load() -> same top-k as the
-    pre-save handle."""
+    centroids — the reference's literal IVF, ivf_wrapper.hpp +
+    clustering.hpp; small centroid sets inline in the manifest, large
+    ones in a parquet side artifact). load() -> same top-k as the
+    pre-save handle. `meta_cols` at build time persists attribute
+    columns next to each vector, enabling filtered search
+    (`topk(..., predicate=...)` — the reference's FilteredSearch for
+    vectors, index.hpp:273-280): the predicate lands in the probed
+    parquet scan as a pushed filter, before any distance is computed."""
 
     MANIFEST = "ann_manifest.json"
 
@@ -326,16 +338,18 @@ class AnnIndex:
     @classmethod
     def build(cls, emb: DataFrame, path: str, n_planes: int = 6,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              seed: int = SEED) -> "AnnIndex":
+              seed: int = SEED,
+              meta_cols: tuple[str, ...] = ()) -> "AnnIndex":
         spark = emb.sparkSession
         dim = _dim_of(emb, vec_col)
         bucketed = lsh_assign(emb, dim, n_planes, vec_col, seed) \
             .select(F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).alias("embedding"), "bucket")
+                    F.col(vec_col).alias("embedding"), "bucket",
+                    *meta_cols)
         n = cls._write_vectors(spark, bucketed, path)
         meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
                 "seed": seed, "n_vectors": int(n), "metric": "cosine",
-                "format_version": 1}
+                "meta_cols": list(meta_cols), "format_version": 1}
         cls._commit_manifest(spark, path, meta)
         return cls(spark, path, meta)
 
@@ -343,22 +357,35 @@ class AnnIndex:
     def build_ivf(cls, emb: DataFrame, path: str, n_clusters: int = 64,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   seed: int = SEED,
-                  sample_fraction: float | None = None) -> "AnnIndex":
-        """IVF variant: learned k-means buckets (clustering.hpp:28-120);
-        centroids persist in the manifest (n_clusters x dim floats — KB,
-        not data-scale)."""
+                  sample_fraction: float | None = None,
+                  meta_cols: tuple[str, ...] = ()) -> "AnnIndex":
+        """IVF variant: learned k-means buckets (clustering.hpp:28-120).
+        Centroids inline in the manifest up to CENTROID_INLINE_MAX
+        floats; above that they commit as a parquet side artifact
+        through the fs seam (manifest keeps only shape/params)."""
+        from pdx_spark.fs import IndexFS, index_fs
         spark = emb.sparkSession
         centroids = ivf_train(emb, n_clusters, vec_col, seed, sample_fraction)
         assigned = ivf_assign(
             emb.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).alias("embedding")),
+                       F.col(vec_col).alias("embedding"), *meta_cols),
             centroids, "embedding")
         n = cls._write_vectors(spark, assigned, path)
         meta = {"kind": "ivf", "dim": int(centroids.shape[1]),
                 "n_clusters": int(n_clusters), "seed": seed,
                 "n_vectors": int(n), "metric": "cosine",
-                "centroids": [[float(x) for x in c] for c in centroids],
-                "format_version": 1}
+                "meta_cols": list(meta_cols), "format_version": 1}
+        if centroids.size <= CENTROID_INLINE_MAX:
+            meta["centroids"] = [[float(x) for x in c] for c in centroids]
+        else:
+            fs = index_fs(spark, path)
+            tmp = IndexFS.join(path, "centroids.tmp")
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cluster int, vec array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            fs.rename(tmp, IndexFS.join(path, "centroids"))
+            meta["centroids_file"] = "centroids"
         cls._commit_manifest(spark, path, meta)
         return cls(spark, path, meta)
 
@@ -385,22 +412,41 @@ class AnnIndex:
         return self.spark.read.parquet(IndexFS.join(self.path, "vectors"))
 
     def _centroids(self) -> np.ndarray:
-        return np.array(self.meta["centroids"], dtype=np.float64)
+        if "centroids" in self.meta:
+            return np.array(self.meta["centroids"], dtype=np.float64)
+        from pdx_spark.fs import IndexFS
+        rows = (self.spark.read.parquet(
+            IndexFS.join(self.path, self.meta["centroids_file"]))
+            .orderBy("cluster").collect())
+        return np.array([list(r["vec"]) for r in rows], dtype=np.float64)
+
+    def _probe_frame(self, predicate: str | None) -> DataFrame:
+        """Vectors with the attribute predicate applied BEFORE scoring —
+        the selection-vector analog for ANN (F1/F2 for vectors). The
+        filter composes with the probe's bucket filter, so both land as
+        pushed filters in the one parquet scan; exactness: scoring a
+        subset can only remove candidates, never change a kept score."""
+        v = self.vectors()
+        return v.filter(F.expr(predicate)) if predicate else v
 
     def topk(self, query_vec: list[float], k: int = 10,
-             nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+             nprobe: int = DEFAULT_NPROBE,
+             predicate: str | None = None) -> DataFrame:
+        v = self._probe_frame(predicate)
         if self.meta.get("kind", "lsh") == "ivf":
-            res = ivf_topk_batch(self.vectors(), self._centroids(),
+            res = ivf_topk_batch(v, self._centroids(),
                                  [(0, query_vec)], k, nprobe)
             return res.select("vec_id", "score")
-        return lsh_topk(self.vectors(), query_vec, k,
+        return lsh_topk(v, query_vec, k,
                         self.meta["n_planes"], nprobe, seed=self.meta["seed"])
 
     def topk_batch(self, queries: list[tuple[int, list[float]]], k: int = 10,
-                   nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+                   nprobe: int = DEFAULT_NPROBE,
+                   predicate: str | None = None) -> DataFrame:
+        v = self._probe_frame(predicate)
         if self.meta.get("kind", "lsh") == "ivf":
-            return ivf_topk_batch(self.vectors(), self._centroids(),
+            return ivf_topk_batch(v, self._centroids(),
                                   queries, k, nprobe)
-        return lsh_topk_batch(self.vectors(), queries, k,
+        return lsh_topk_batch(v, queries, k,
                               self.meta["n_planes"], nprobe,
                               seed=self.meta["seed"])

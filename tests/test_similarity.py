@@ -215,3 +215,67 @@ def test_ivf_recall_beats_or_matches_lsh_at_equal_nprobe(spark, emb_df,
     assert last == 1.0
     assigned.unpersist()
     lsh_b.unpersist()
+
+
+def test_filtered_ann_partial_and_full_probe(spark, tmp_path, emb_df, emb_np):
+    """F1 for vectors: topk(predicate=...) scores only rows passing the
+    attribute predicate. Full probe == filtered brute force (true
+    oracle); partial probe results are a subset of the filtered corpus
+    and keep exact cosines."""
+    from pdx_spark.operators.similarity import AnnIndex
+
+    meta = emb_df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    idx = AnnIndex.build(meta, str(tmp_path / "fann"), n_planes=4,
+                         meta_cols=("label",))
+    assert idx.meta["meta_cols"] == ["label"]
+    q = emb_np[3].tolist()
+    pred = "label = 1"
+
+    got = [(r["vec_id"], round(r["score"], 9))
+           for r in idx.topk(q, k=10, nprobe=16, predicate=pred).collect()]
+    bf = brute_force_topk(emb_df.filter(F.col("vec_id") % 3 == 1),
+                          q, k=10, metric="cosine")
+    want = [(r["vec_id"], round(r["score"], 9)) for r in bf.collect()]
+    assert got == want
+
+    part = idx.topk(q, k=10, nprobe=4, predicate=pred).collect()
+    assert part and all(int(r["vec_id"]) % 3 == 1 for r in part)
+    exact = dict(want)
+    for r in part:  # any returned (id, score) matches the exact cosine
+        if r["vec_id"] in exact:
+            assert round(r["score"], 9) == exact[r["vec_id"]]
+
+    # ivf flavor too, via the batch API
+    ividx = AnnIndex.build_ivf(meta, str(tmp_path / "fivf"), n_clusters=8,
+                               meta_cols=("label",))
+    got2 = [(r["vec_id"], round(r["score"], 9))
+            for r in ividx.topk_batch([(0, q)], k=10, nprobe=8,
+                                      predicate=pred).collect()]
+    assert got2 == want
+
+
+def test_ivf_centroids_side_artifact(spark, tmp_path, emb_df, emb_np,
+                                     monkeypatch):
+    """Above CENTROID_INLINE_MAX the centroid matrix persists as parquet
+    through the fs seam, not as manifest JSON; load() + topk are
+    identical to the inline flavor."""
+    import json
+
+    import pdx_spark.operators.similarity as S
+
+    inline = S.AnnIndex.build_ivf(emb_df, str(tmp_path / "inl"), n_clusters=8)
+    monkeypatch.setattr(S, "CENTROID_INLINE_MAX", 0)
+    side = S.AnnIndex.build_ivf(emb_df, str(tmp_path / "side"), n_clusters=8)
+    assert "centroids" not in side.meta
+    assert side.meta["centroids_file"] == "centroids"
+    manifest = json.loads(open(str(tmp_path / "side" / "ann_manifest.json")).read())
+    assert "centroids" not in manifest
+
+    reloaded = S.AnnIndex.load(spark, str(tmp_path / "side"))
+    assert np.allclose(reloaded._centroids(), inline._centroids())
+    q = emb_np[9].tolist()
+    a = [(r["vec_id"], round(r["score"], 9))
+         for r in inline.topk(q, k=10, nprobe=8).collect()]
+    b = [(r["vec_id"], round(r["score"], 9))
+         for r in reloaded.topk(q, k=10, nprobe=8).collect()]
+    assert a == b
