@@ -333,7 +333,14 @@ class Indexer:
                 tc = time.time()
                 part = posts.filter(F.col("shard") % n_chunks == chunk) \
                     if n_chunks > 1 else posts
-                seg = (part.repartition(n_encode, "shard")
+                # RANGE partition by shard (satisfies the groupBy's
+                # clustering — no second shuffle): each output file then
+                # holds a CONTIGUOUS shard range, so query-time shard
+                # routing (`shard IN (...)`) skips whole files via
+                # row-group stats — the physical substrate of the
+                # two-phase pruning win (reference: clusters ARE the I/O
+                # granularity, ivf_wrapper.hpp:15-38)
+                seg = (part.repartitionByRange(n_encode, "shard")
                        .groupBy("shard")
                        .applyInPandas(enc, schema=schemas.SEGMENTS))
                 final = self._p(path, "segments", "base", f"chunk-{chunk}")

@@ -540,8 +540,10 @@ class Maintainer:
         n_encode = max(4 * self.spark.sparkContext.defaultParallelism,
                        int(self.spark.conf.get(
                            "spark.sql.shuffle.partitions", "8")))
+        # range-partitioned like the build: compacted files hold
+        # contiguous shard ranges so shard routing prunes them at the scan
         new_seg = (posts.withColumn("shard", self.cfg.shard_of_expr())
-                   .repartition(n_encode, "shard")
+                   .repartitionByRange(n_encode, "shard")
                    .groupBy("shard").applyInPandas(enc, schema=schemas.SEGMENTS))
         # every old artifact is deleted only AFTER the manifest commit
         # (a crash in between leaves harmless orphans, never a manifest

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode step is STUBBED (this container has no image/audio libs): the
-default codec is a deterministic fake (md5-derived bytes -> fixed-size
-float features) so the Spark-side plumbing — schema, batch shape,
-partition sizing, UDF signatures — is real and tested; swap
-`decode_image`/`decode_audio` for Pillow/torchaudio calls in production
-(they raise NotImplementedError when real=True).
+The decode step is dependency-gated: `decode_image(real=True)` uses
+Pillow when it is importable (raising a clear error otherwise — this
+container ships no image libs), `decode_audio(real=True)` decodes WAV
+via the stdlib `wave` module (always available). The default codec
+remains a deterministic fake (md5-derived bytes -> fixed-size float
+features) so the Spark-side plumbing — schema, batch shape, partition
+sizing, UDF signatures — is testable and oracle-checkable everywhere.
 """
 
 from __future__ import annotations
@@ -56,16 +57,34 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA)
 
 
+def _have_pil() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
-    """STUB: real image decode requires Pillow (not in this container).
-    Deterministic fake: md5-chained over the LOWERCASE-HEX encoding of the
-    payload -> FEATURE_DIM floats in [0,1). Hashing the hex string (not
-    the raw bytes) keeps the stub reproducible in ANSI SQL, so the
-    media_features entry gets a real DuckDB oracle (DuckDB md5 only
-    accepts VARCHAR). Each little-endian uint16 / 2^16 is exact in
-    float32, so Spark and SQL produce bit-equal doubles."""
+    """real=True: Pillow decode (grayscale, resized to a 4x4 thumbnail ->
+    FEATURE_DIM floats in [0,1]) when Pillow is importable; a clear
+    NotImplementedError otherwise (this container ships no image libs).
+
+    Default (real=False): deterministic fake — md5-chained over the
+    LOWERCASE-HEX encoding of the payload -> FEATURE_DIM floats in
+    [0,1). Hashing the hex string (not the raw bytes) keeps the stub
+    reproducible in ANSI SQL, so the media_features entry gets a real
+    DuckDB oracle (DuckDB md5 only accepts VARCHAR). Each little-endian
+    uint16 / 2^16 is exact in float32, so Spark and SQL produce
+    bit-equal doubles."""
     if real:
-        raise NotImplementedError("image decode requires Pillow; stubbed here")
+        if not _have_pil():
+            raise NotImplementedError(
+                "image decode requires Pillow (pip install Pillow); "
+                "the deterministic stub (real=False) works everywhere")
+        import io
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return (np.asarray(img, dtype=np.float32).reshape(-1)
+                / 255.0)[:FEATURE_DIM]
     hx = payload.hex()
     h = (hashlib.md5(hx.encode()).digest()
          + hashlib.md5((hx + ":2").encode()).digest())
@@ -73,18 +92,43 @@ def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
 
 
 def decode_audio(payload: bytes, real: bool = False) -> np.ndarray:
+    """real=True: stdlib WAV decode (wave module — no external deps):
+    FEATURE_DIM per-bucket RMS energies of the int16 mono signal,
+    normalized to [0,1]. Default: the same deterministic fake as
+    decode_image."""
     if real:
-        raise NotImplementedError("audio decode requires soundfile/torchaudio; stubbed")
+        import io
+        import wave
+        with wave.open(io.BytesIO(payload)) as w:
+            raw = w.readframes(w.getnframes())
+        sig = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+        if len(sig) == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        pad = (-len(sig)) % FEATURE_DIM
+        sig = np.pad(sig, (0, pad))
+        buckets = sig.reshape(FEATURE_DIM, -1)
+        rms = np.sqrt((buckets ** 2).mean(axis=1)) / 32768.0
+        return rms.astype(np.float32)
     return decode_image(payload)  # same deterministic fake feature shape
 
 
-def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def extract_features(media: DataFrame, batch_rows: int = 64,
+                     real: bool = False) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, fixed-dim float
     features out. The batch loop is the production shape (decode one
-    batch of payloads per Python call, never per row in Spark)."""
+    batch of payloads per Python call, never per row in Spark).
+    real=True routes image payloads through Pillow and audio payloads
+    through the stdlib WAV decoder (kind column selects the codec)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image(bytes(p)).tolist() for p in pdf["payload"]]
+            if real:
+                feats = [
+                    (decode_audio(bytes(p), real=True) if k == "audio"
+                     else decode_image(bytes(p), real=True)).tolist()
+                    for p, k in zip(pdf["payload"], pdf["kind"])]
+            else:
+                feats = [decode_image(bytes(p)).tolist()
+                         for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

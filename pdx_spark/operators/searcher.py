@@ -48,6 +48,8 @@ block bytes through Arrow/numpy) — see BENCH.md's bandwidth ceiling.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -75,6 +77,10 @@ def _pdf_df(spark, data: dict, schema) -> DataFrame:
 # this the cogroup channel carries routing (never collected to the driver)
 _ROUTING_CAP = 200_000
 
+# max directory rows the driver-side planner will read per batch; above
+# this (or on a remote fs) planning runs distributed via ub_df
+_PLAN_SLICE_CAP = 2_000_000
+
 # adaptive-planner feedback: after this many consecutive unrouted
 # fallbacks (θ pruned nothing), skip the seed phase; re-probe two-phase
 # after this many bypassed batches
@@ -86,6 +92,68 @@ _BYPASS_REPROBE = 10
 # (shard long, kind int, id long, p int)
 _KIND_MASK = 0   # (shard, kind=0, id=doc_id, p): selection-vector row
 _KIND_QUERY = 1  # (shard, kind=1, id=query_id): per-shard query routing
+
+
+
+def _shard_filter(shards) -> "F.Column":
+    """Predicate selecting a shard set, compressed into contiguous
+    BETWEEN-ranges. Two reasons over a plain isin: (1) Spark only pushes
+    IN lists below spark.sql.parquet.pushdown.inFilterThreshold (10!) to
+    the parquet reader — above that the filter runs post-scan and the
+    routed scan silently reads EVERY file; range predicates push down
+    regardless, and segment files hold contiguous shard ranges (the
+    range-partitioned encode), so pushed ranges skip whole files via
+    row-group stats. (2) at 10^12-doc scale a routing's shard list can
+    be 10^5 ids — a handful of BETWEEN runs is a constant-size plan.
+    """
+    runs = []
+    for sh in sorted(int(x) for x in shards):
+        if runs and sh == runs[-1][1] + 1:
+            runs[-1][1] = sh
+        else:
+            runs.append([sh, sh])
+    cond = None
+    for a, b in runs:
+        c = (F.col("shard") == a) if a == b \
+            else F.col("shard").between(a, b)
+        cond = c if cond is None else cond | c
+    return cond if cond is not None else F.lit(False)
+
+
+# disjunct budget for the per-term row filter; above this the plan falls
+# back to the (coarser) union-of-shards filter to keep codegen bounded
+_TERM_FILTER_MAX_RUNS = 512
+
+
+def _term_shard_filter(term_shards: dict[str, set],
+                       routing: dict[int, set]) -> "F.Column | None":
+    """Row-precise JVM filter for the routed main scan:
+    OR_t (term = t AND shard IN ranges_t). The union-of-shards filter
+    alone is self-defeating on batches whose queries route to DIFFERENT
+    shard sets (16 queries x 16 disjoint topics = the union covers the
+    whole corpus): every query term's rows in every unioned shard cross
+    the Arrow boundary only to be dropped by the per-query routing in
+    the scorer. This predicate drops them in the JVM scan instead —
+    rows shipped to python shrink from |union| x |terms| to
+    Σ_t |shards_t| — and it composes with row-group pruning (term and
+    shard stats both evaluated per file). Returns None when the
+    disjunct budget is exceeded (fall back to the union filter)."""
+    total_runs, parts = 0, []
+    for t, shards in term_shards.items():
+        runs = 1
+        prev = None
+        for sh in sorted(shards):
+            if prev is not None and sh != prev + 1:
+                runs += 1
+            prev = sh
+        total_runs += runs
+        if total_runs > _TERM_FILTER_MAX_RUNS:
+            return None
+        parts.append((F.col("term") == t) & _shard_filter(shards))
+    cond = None
+    for c in parts:
+        cond = c if cond is None else cond | c
+    return cond if cond is not None else F.lit(False)
 
 
 def _shard_scorer(payload: dict, has_aux: bool):
@@ -366,6 +434,10 @@ class Searcher:
         # cache instead of re-reading (and re-merging) the directory
         # parquet every time
         self._dir_df: DataFrame | None = None
+        # driver-side planning cache: term -> (shards, admissible tfnorm
+        # bound) from the directory parquet (see _plan_slice)
+        self._plan_cache: dict[str, tuple] = {}
+        self._plan_disabled = False
         # outcome feedback for the adaptive planner: consecutive batches
         # whose θ could not prune (unrouted fallback) — after
         # _UNROUTED_BYPASS of them, skip the seed phase entirely and
@@ -414,17 +486,26 @@ class Searcher:
 
     # -- lazy frames (merged views over base + maintenance deltas) ----------
     def segments(self) -> DataFrame:
-        excl = self.manifest.get("seg_excludes", {})
-        df = None
-        for d in self.manifest["segment_dirs"] + self.manifest.get("deltas", []):
-            part = (self.spark.read.schema(schemas.SEGMENTS)
-                    .option("recursiveFileLookup", "true")
-                    .parquet(self.fs.join(self.path, d)))
-            ex = excl.get(d)
-            if ex:  # shards superseded by a targeted-compaction patch
-                part = part.filter(~F.col("shard").isin([int(s) for s in ex]))
-            df = part if df is None else df.unionByName(part)
-        return df
+        # one lazy frame per Searcher: a Searcher is a snapshot of one
+        # manifest, so the frame (and Spark's file-listing cache inside
+        # it) is reused across batches instead of re-listing the segment
+        # dirs on every query — per-batch serial latency, at 10^5 files
+        # a real planning cost
+        if getattr(self, "_seg_frame", None) is None:
+            excl = self.manifest.get("seg_excludes", {})
+            df = None
+            for d in self.manifest["segment_dirs"] \
+                    + self.manifest.get("deltas", []):
+                part = (self.spark.read.schema(schemas.SEGMENTS)
+                        .option("recursiveFileLookup", "true")
+                        .parquet(self.fs.join(self.path, d)))
+                ex = excl.get(d)
+                if ex:  # shards superseded by a targeted-compaction patch
+                    part = part.filter(
+                        ~F.col("shard").isin([int(s) for s in ex]))
+                df = part if df is None else df.unionByName(part)
+            self._seg_frame = df
+        return self._seg_frame
 
     def docs(self) -> DataFrame:
         df = None
@@ -524,6 +605,8 @@ class Searcher:
         rank-identical either way; only the work differs. The adaptive
         choice mirrors the reference's selectivity-adaptive scan
         branches (searcher.hpp:321-345)."""
+        tm: dict[str, float] = {}
+        _t0 = time.time()
         parsed = []
         for qid, qtext, k in queries:
             terms = sorted(set(tokenize_py(qtext)))
@@ -535,6 +618,7 @@ class Searcher:
             return empty
 
         idf = self._idf_lookup(all_terms)
+        tm["idf"] = round(time.time() - _t0, 3)
         live = [(q, [t for t in ts if t in idf], k) for q, ts, k in parsed]
         live = [(q, ts, k) for q, ts, k in live if ts]
         if not live:
@@ -581,57 +665,98 @@ class Searcher:
                 res = self._scan(seg, qspec, idf, mask_df, pred_mode)
             return self._global_topk(res, live)
 
-        # ---- Spark-side plan (S2/S3 analog): per-(query, shard) upper
-        # bounds from the directory slice of the query terms, computed
-        # distributed; only BOUNDED slices of it ever reach the driver
-        # (seed pairs <= seed_shards x Q; main pairs only when below
-        # _ROUTING_CAP — otherwise the cogroup channel ships routing).
-        qt_rows = [(int(q), t, float(idf[t])) for q, ts, _ in live for t in ts]
-        qterms = _pdf_df(self.spark, {
-            "query_id": pd.Series([r[0] for r in qt_rows], dtype="int32"),
-            "term": pd.Series([r[1] for r in qt_rows], dtype=object),
-            "idf": pd.Series([r[2] for r in qt_rows], dtype="float64")},
-            "query_id int, term string, idf double")
-        if self._dir_df is None:
-            bounds = self.directory().select(
-                "term", "shard", "max_tf", "min_dl")
-            if self.manifest.get("dir_deltas"):
-                # base + append-delta rows can repeat a (term, shard) key;
-                # collapse to one admissible bound so ub isn't inflated.
-                # (Delta-free indexes skip this shuffle — keys are unique.)
-                bounds = (bounds.groupBy("term", "shard")
-                          .agg(F.max("max_tf").alias("max_tf"),
-                               F.min("min_dl").alias("min_dl")))
-            # warm-Searcher cache: later batches plan against the
-            # executor-cached (deduped, dequantized) directory instead of
-            # re-reading + re-merging parquet per batch (MEMORY_AND_DISK
-            # default — the directory is a small fraction of the index)
-            self._dir_df = bounds.persist()
-        bounds = self._dir_df.filter(F.col("term").isin(all_terms))
-        ub_df = (bounds
-                 .join(F.broadcast(qterms), "term")
-                 .withColumn("contrib", F.col("idf") * tfnorm_col(
-                     F.col("max_tf"), F.col("min_dl"),
-                     F.lit(float(self.avgdl)), self.params))
-                 .groupBy("query_id", "shard")
-                 .agg(F.sum("contrib").alias("ub"))
-                 .filter(F.col("ub") > 0)
-                 .persist())
+        # ---- plan (S2/S3 analog): per-(query, shard) upper bounds from
+        # the directory slice of the query terms. DRIVER-PLANNED on local
+        # indexes (pyarrow slice + numpy — the directory is metadata, the
+        # reference ranks it in-process, searcher.hpp:181-215; saves two
+        # Spark jobs of serial latency per batch); DISTRIBUTED (ub_df)
+        # on remote indexes, oversized slices, or masked batches.
+        _t0 = time.time()
+        ub_df = q_ub = None
+        plan_terms = self._plan_slice(all_terms) if mask_df is None else None
+        if plan_terms is not None:
+            q_ub = {}
+            potential = 0
+            for q, ts, _k in live:
+                shs, contribs = [], []
+                for t in ts:
+                    sh_t, g_t = plan_terms[t]
+                    if len(sh_t):
+                        shs.append(sh_t)
+                        contribs.append(idf[t] * g_t)
+                if not shs:
+                    continue
+                sh = np.concatenate(shs)
+                contrib = np.concatenate(contribs)
+                ush, inv = np.unique(sh, return_inverse=True)
+                ub = np.zeros(len(ush))
+                np.add.at(ub, inv, contrib)
+                q_ub[int(q)] = (ush, ub)
+                potential += len(ush)
+            if potential > _ROUTING_CAP:
+                q_ub = None  # routing would not fit the driver anyway
 
-        # ---- seed scan (Start analog): each query's most promising
-        # shards, scored exactly. The seed assignment is tiny (<=
-        # seed_shards x Q pairs), so routing rides the scorer closure and
-        # the scan is a shuffle-free mapInPandas over the pruned files.
-        wseed = Window.partitionBy("query_id").orderBy(F.desc("ub"),
-                                                       F.asc("shard"))
-        seed_pairs = (ub_df.withColumn("_rn", F.row_number().over(wseed))
-                      .filter(F.col("_rn") <= seed_shards)
-                      .select("query_id", "shard").collect())
-        seed_set = {(int(r["query_id"]), int(r["shard"])) for r in seed_pairs}
+        if q_ub is not None:
+            seed_set = set()
+            for q, (ush, ub) in q_ub.items():
+                order = np.lexsort((ush, -ub))[:seed_shards]
+                seed_set.update((q, int(ush[i])) for i in order)
+            tm["plan_ub"] = round(time.time() - _t0, 3)
+        else:
+            qt_rows = [(int(q), t, float(idf[t]))
+                       for q, ts, _ in live for t in ts]
+            qterms = _pdf_df(self.spark, {
+                "query_id": pd.Series([r[0] for r in qt_rows], dtype="int32"),
+                "term": pd.Series([r[1] for r in qt_rows], dtype=object),
+                "idf": pd.Series([r[2] for r in qt_rows], dtype="float64")},
+                "query_id int, term string, idf double")
+            if self._dir_df is None:
+                bounds = self.directory().select(
+                    "term", "shard", "max_tf", "min_dl")
+                if self.manifest.get("dir_deltas"):
+                    # base + append-delta rows can repeat a (term, shard)
+                    # key; collapse to one admissible bound so ub isn't
+                    # inflated. (Delta-free indexes skip this shuffle.)
+                    bounds = (bounds.groupBy("term", "shard")
+                              .agg(F.max("max_tf").alias("max_tf"),
+                                   F.min("min_dl").alias("min_dl")))
+                # warm-Searcher cache: later batches plan against the
+                # executor-cached (deduped, dequantized) directory instead
+                # of re-reading + re-merging parquet per batch
+                self._dir_df = bounds.persist()
+            bounds = self._dir_df.filter(F.col("term").isin(all_terms))
+            ub_df = (bounds
+                     .join(F.broadcast(qterms), "term")
+                     .withColumn("contrib", F.col("idf") * tfnorm_col(
+                         F.col("max_tf"), F.col("min_dl"),
+                         F.lit(float(self.avgdl)), self.params))
+                     .groupBy("query_id", "shard")
+                     .agg(F.sum("contrib").alias("ub"))
+                     .filter(F.col("ub") > 0)
+                     .persist())
+
+            # seed selection distributed: each query's most promising
+            # shards; only the tiny (<= seed_shards x Q) pair set is
+            # collected.
+            wseed = Window.partitionBy("query_id").orderBy(F.desc("ub"),
+                                                           F.asc("shard"))
+            seed_pairs = (ub_df.withColumn("_rn", F.row_number().over(wseed))
+                          .filter(F.col("_rn") <= seed_shards)
+                          .select("query_id", "shard").collect())
+            tm["plan_ub"] = round(time.time() - _t0, 3)
+            seed_set = {(int(r["query_id"]), int(r["shard"]))
+                        for r in seed_pairs}
         seed_routing: dict[int, set] = {}
         for q, sh in seed_set:
             seed_routing.setdefault(sh, set()).add(q)
-        seed_seg = seg.filter(F.col("shard").isin(sorted(seed_routing)))
+        _seed_ts: dict[str, set] = {}
+        _qterms = {q: ts for q, ts, _ in live}
+        for q, sh in seed_set:
+            for t in _qterms[q]:
+                _seed_ts.setdefault(t, set()).add(sh)
+        _seed_expr = _term_shard_filter(_seed_ts, seed_routing)
+        seed_seg = seg.filter(_seed_expr) if _seed_expr is not None \
+            else seg.filter(_shard_filter(seed_routing))
         qspec0 = [(q, ts, k, None) for q, ts, k in live]
         if mask_df is None:
             seed_res = self._map_scan(seed_seg, qspec0, idf,
@@ -647,7 +772,9 @@ class Searcher:
         # searcher.hpp:82-91's threshold role) falls out driver-side, and
         # the rows themselves are REUSED as the seed contribution to the
         # final merge — the seed scan is never thrown away or re-run.
+        _t0 = time.time()
         seed_pdf = self._global_topk(seed_res, live).toPandas()  # Arrow
+        tm["seed_scan"] = round(time.time() - _t0, 3)
         seed_rows = list(zip(seed_pdf["query_id"].astype(int),
                              seed_pdf["doc_id"].astype(int),
                              seed_pdf["score"].astype(float)))
@@ -658,10 +785,6 @@ class Searcher:
             worst[q] = min(worst.get(q, s), s)
         theta = {q: worst[q] for q, _, k in live
                  if n_seed_hits.get(q, 0) >= k}
-        theta_df = _pdf_df(self.spark, {
-            "query_id": pd.Series([q for q in theta], dtype="int32"),
-            "theta": pd.Series([theta[q] for q in theta], dtype="float64")},
-            "query_id int, theta double")
         seed_df = _pdf_df(self.spark, {
             "query_id": pd.Series([r[0] for r in seed_rows], dtype="int32"),
             "doc_id": pd.Series([r[1] for r in seed_rows], dtype="int64"),
@@ -669,18 +792,41 @@ class Searcher:
             schemas.RESULTS)
 
         # ---- main scan over (query, shard) pairs that can still beat θ.
-        # ONE bounded collect (limit CAP+1) both sizes the survivor set
-        # and fetches the routing when it is small — replacing a count
-        # job + a collect job with a single job. At most CAP+1 rows ever
-        # reach the driver; if the limit is hit, routing goes through
-        # the cogroup channel (or the unrouted pass) instead.
-        main_asg = (ub_df.join(F.broadcast(theta_df), "query_id", "left")
-                    .filter(F.col("theta").isNull()
-                            | (F.col("ub") >= F.col("theta")
-                               - F.lit(_THETA_GUARD) * F.abs(F.col("theta"))))
-                    .select("query_id", "shard")).persist()
-        peek = main_asg.limit(_ROUTING_CAP + 1).collect()
-        n_main = len(peek)  # == true count unless the limit was hit
+        # Driver-planned: the survivor set falls out of the in-memory ub
+        # vectors (zero Spark jobs). Distributed: ONE bounded collect
+        # (limit CAP+1) both sizes the survivor set and fetches the
+        # routing when it is small. At most CAP+1 rows ever reach the
+        # driver; if the limit is hit, routing goes through the cogroup
+        # channel (or the unrouted pass) instead.
+        main_asg = None
+        if q_ub is not None:
+            pairs = []
+            for q, (ush, ub) in q_ub.items():
+                th = theta.get(q)
+                keep = ush if th is None else \
+                    ush[ub >= th - _THETA_GUARD * abs(th)]
+                pairs.extend((q, int(x)) for x in keep)
+            n_main = len(pairs)
+            tm["routing_peek"] = 0.0
+        else:
+            theta_df = _pdf_df(self.spark, {
+                "query_id": pd.Series([q for q in theta], dtype="int32"),
+                "theta": pd.Series([theta[q] for q in theta],
+                                   dtype="float64")},
+                "query_id int, theta double")
+            main_asg = (ub_df.join(F.broadcast(theta_df), "query_id", "left")
+                        .filter(F.col("theta").isNull()
+                                | (F.col("ub") >= F.col("theta")
+                                   - F.lit(_THETA_GUARD)
+                                   * F.abs(F.col("theta"))))
+                        .select("query_id", "shard")).persist()
+            _t0 = time.time()
+            peek = main_asg.limit(_ROUTING_CAP + 1).collect()
+            tm["routing_peek"] = round(time.time() - _t0, 3)
+            n_main = len(peek)  # == true count unless the limit was hit
+            if n_main <= _ROUTING_CAP:
+                pairs = [(int(r["query_id"]), int(r["shard"]))
+                         for r in peek]
         qspec1 = [(q, ts, k, theta.get(q)) for q, ts, k in live]
 
         if mask_df is None and n_main > 0.5 * len(live) * n_shards_total:
@@ -701,7 +847,6 @@ class Searcher:
             res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing)
             out = self._global_topk(seed_df.unionByName(res), live)
         elif mask_df is None and n_main <= _ROUTING_CAP:
-            pairs = [(int(r["query_id"]), int(r["shard"])) for r in peek]
             routing: dict[int, set] = {}
             for q, sh in pairs:
                 if (q, sh) not in seed_set:  # seed shards already scored
@@ -713,7 +858,16 @@ class Searcher:
             self._unrouted_streak = 0
             self._unrouted_min_live = None
             if routing:
-                main_seg = seg.filter(F.col("shard").isin(sorted(routing)))
+                qterms_of = {q: ts for q, ts, _ in live}
+                term_shards: dict[str, set] = {}
+                for q, sh in pairs:
+                    if (q, sh) in seed_set:
+                        continue
+                    for t in qterms_of[q]:
+                        term_shards.setdefault(t, set()).add(sh)
+                tf_expr = _term_shard_filter(term_shards, routing)
+                main_seg = seg.filter(tf_expr) if tf_expr is not None \
+                    else seg.filter(_shard_filter(routing))
                 main_res = self._map_scan(main_seg, qspec1, idf,
                                           routing=routing)
                 out = self._global_topk(seed_df.unionByName(main_res), live)
@@ -741,9 +895,75 @@ class Searcher:
             out = self._materialize(
                 self._global_topk(seed_df.unionByName(main_res), live))
 
-        ub_df.unpersist()
-        main_asg.unpersist()
+        if ub_df is not None:
+            ub_df.unpersist()
+        if main_asg is not None:
+            main_asg.unpersist()
+        self.last_plan["timings"] = tm
+        self.last_plan["driver_planned"] = q_ub is not None
         return out
+
+    def _plan_slice(self, terms: list[str]) -> dict | None:
+        """term -> (shards int64[], admissible tfnorm bound float64[])
+        for the query terms, read DRIVER-SIDE from the directory parquet
+        via pyarrow (term-filtered; the directory is range-partitioned
+        by term, so footers prune the read to the queried row groups).
+
+        This is the reference's actual shape — the cluster directory is
+        metadata, orders of magnitude smaller than the index
+        (searcher.hpp:181-215 ranks it in-process) — and it removes two
+        Spark jobs of serial latency from every two-phase batch (the
+        ub_df plan job and the routing peek). Bounded: returns None (→
+        distributed ub_df planning) on a remote fs or when the slice
+        exceeds _PLAN_SLICE_CAP rows. Cached per term on the warm
+        Searcher, like idf."""
+        if self._plan_disabled or not self.fs.is_local:
+            return None
+        missing = [t for t in terms if t not in self._plan_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            from pdx_spark.functions.quantize import dequantize_np
+            dq = self.manifest.get("dir_quant", {})
+            zero = {"tf_base": 0.0, "tf_scale": 0.0,
+                    "dl_base": 0.0, "dl_scale": 0.0}
+            dirs = [self.manifest.get("dir_base", "directory")] \
+                + self.manifest.get("dir_deltas", [])
+            frames, total = [], 0
+            for d in dirs:
+                p = dq.get(d, zero)
+                dset = ds.dataset(self.fs.join(self.path, d),
+                                  format="parquet")
+                tab = dset.to_table(
+                    columns=["term", "shard", "max_tf_q", "min_dl_q"],
+                    filter=ds.field("term").isin(missing))
+                total += tab.num_rows
+                if total > _PLAN_SLICE_CAP:
+                    self._plan_disabled = True  # hot terms x huge index
+                    return None
+                pdf = tab.to_pandas()
+                pdf["max_tf"] = dequantize_np(
+                    pdf["max_tf_q"].to_numpy(), p["tf_base"], p["tf_scale"])
+                pdf["min_dl"] = dequantize_np(
+                    pdf["min_dl_q"].to_numpy(), p["dl_base"], p["dl_scale"])
+                frames.append(pdf[["term", "shard", "max_tf", "min_dl"]])
+            allp = frames[0] if len(frames) == 1 else pd.concat(
+                frames, ignore_index=True)
+            if len(dirs) > 1:
+                # delta dirs can repeat a (term, shard) key; collapse to
+                # one admissible bound (same as the ub_df dedup)
+                allp = allp.groupby(["term", "shard"], as_index=False) \
+                    .agg(max_tf=("max_tf", "max"), min_dl=("min_dl", "min"))
+            for t, grp in allp.groupby("term", sort=False):
+                g = tfnorm_np(grp["max_tf"].to_numpy(),
+                              grp["min_dl"].to_numpy(),
+                              self.avgdl, self.params)
+                self._plan_cache[str(t)] = (
+                    grp["shard"].to_numpy(dtype=np.int64), g)
+            for t in missing:  # absent terms cache as empty
+                self._plan_cache.setdefault(
+                    t, (np.empty(0, dtype=np.int64), np.empty(0)))
+        return {t: self._plan_cache[t] for t in terms}
 
     def _idf_lookup(self, terms: list[str]) -> dict[str, float]:
         """term -> idf for the query terms, from term_stats (base +
@@ -872,7 +1092,7 @@ class Searcher:
                 asg_df = self.spark.createDataFrame(
                     sorted((q, sh) for sh, qs in routing.items()
                            for q in qs), "query_id int, shard long")
-                seg = seg.filter(F.col("shard").isin(sorted(routing)))
+                seg = seg.filter(_shard_filter(routing))
             if anti_routing is not None:
                 # distributed complement: (all scanned shards x queries)
                 # minus the anti pairs — never collected to the driver
@@ -894,6 +1114,16 @@ class Searcher:
                    "assigned": False, "has_mask": False,
                    "routing": routing, "anti_routing": anti_routing}
         fn = _partition_scorer(payload)
+        if routing is not None:
+            # routed scans touch few shards; every python task costs a
+            # fixed ~0.2-0.3 CPU-s (Arrow runner round-trip) REGARDLESS
+            # of data, so a 2-shard seed scan split across 32 scan
+            # partitions pays 32x overhead for nothing. Coalesce to at
+            # most one task per routed shard (no shuffle — scan
+            # partitions merge). Unrouted/exhaustive scans keep full
+            # scan parallelism.
+            seg = seg.coalesce(max(1, min(
+                self.spark.sparkContext.defaultParallelism, len(routing))))
         return seg.mapInPandas(fn, schema=schemas.RESULTS)
 
     def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],

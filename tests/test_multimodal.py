@@ -42,3 +42,70 @@ def test_frame_sample(spark):
     counts = pdf.groupby("media_id").size().to_dict()
     for v in videos:
         assert counts[v["media_id"]] == v["duration_ms"] // 500 + 1
+
+
+def _wav_bytes(freq=440, n=3200):
+    import io
+    import wave
+
+    import numpy as np
+    t = np.arange(n) / 16000.0
+    sig = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def test_real_audio_decode_stdlib_wav():
+    """decode_audio(real=True) is a REAL decoder (stdlib wave): a pure
+    sine yields near-uniform bucket RMS ~ amplitude/sqrt(2)."""
+    import numpy as np
+
+    from pdx_spark.operators.multimodal import FEATURE_DIM, decode_audio
+    feats = decode_audio(_wav_bytes(), real=True)
+    assert feats.shape == (FEATURE_DIM,)
+    expect = (20000 / 32768.0) / np.sqrt(2)
+    assert np.allclose(feats, expect, atol=0.02)
+    assert np.allclose(decode_audio(b"", real=False),
+                       decode_audio(b"", real=False))  # stub deterministic
+
+
+def test_real_image_decode_gated_on_pillow():
+    import importlib.util
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pdx_spark.operators.multimodal import FEATURE_DIM, decode_image
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG", real=True)
+        _pytest.skip("Pillow not installed — gated path verified")
+    # with Pillow present: decode a generated PNG
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (128, 64, 32)).save(buf, format="PNG")
+    feats = decode_image(buf.getvalue(), real=True)
+    assert feats.shape == (FEATURE_DIM,)
+    assert np.all((feats >= 0) & (feats <= 1))
+
+
+def test_extract_features_real_audio_via_spark(spark):
+    """The real decoder runs through the same mapInPandas plumbing."""
+    import numpy as np
+
+    from pdx_spark.operators.multimodal import MEDIA, extract_features
+    rows = [(i, "audio", bytearray(_wav_bytes(300 + 50 * i)),
+             None, None, 200, "wav") for i in range(6)]
+    media = spark.createDataFrame(rows, MEDIA)
+    out = extract_features(media, real=True).collect()
+    assert len(out) == 6
+    for r in out:
+        f = np.array(r["features"])
+        assert f.shape == (16,) and np.all(f > 0.3) and np.all(f < 0.6)
