@@ -88,6 +88,17 @@ def get_spark(cores: int | None = None, app: str = "pdx_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan-task granularity: the encode writes segment files at ~4
+        # per build core (each one row group). Spark's default split
+        # packing targets ONE partition per core (total/defaultParallelism
+        # bytes, 4 MB open cost), re-packing those files into ~cores
+        # unsplittable bins — one straggler bin then costs a whole extra
+        # wave (measured: a 9-task scan on 8 cores ran 2 waves, ~44% idle
+        # in the tail). One task per segment file restores 3-4 balanced
+        # waves at every cluster size; at petabyte scale raise file size
+        # and these two knobs TOGETHER (SCALE.md "Scan granularity").
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.files.openCostInBytes", "8388608")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )

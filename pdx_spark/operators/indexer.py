@@ -356,19 +356,27 @@ class Indexer:
             manifest["segment_dirs"] = ["segments/base"]
             # writer-side proof of the map-scan invariant (footer-only
             # walk); readers trust this flag instead of re-walking
+            tv = time.time()
             manifest["seg_single_rg"] = verify_single_rowgroup(
                 fs, "segments/base", root=path)
+            manifest["lineage"].append(
+                {"stage": "verify_rg",
+                 "timings": {"verify_rg": round(time.time() - tv, 2)}})
             manifest["stage"] = "directory"
             _write_manifest(path, manifest, fs=fs)
 
         # ---- stage C: directory (2-level routing, L0 analog; u8-
         # quantized bound metadata — the SQ8 half, scalar.hpp:60-106) ----
         if manifest["stage"] == "directory":
+            td = time.time()
             seg = (self.spark.read.schema(schemas.SEGMENTS)
                    .option("recursiveFileLookup", "true")
                    .parquet(self._p(path, "segments", "base")))
             params = write_directory(seg, self._p(path, "directory"), fs)
             manifest.setdefault("dir_quant", {})["directory"] = params
+            manifest["lineage"].append(
+                {"stage": "directory",
+                 "timings": {"directory": round(time.time() - td, 2)}})
             fs.delete(self._p(path, "postings_tmp"))
             cached = getattr(self, "_posts_cache", None)
             if cached is not None:

@@ -90,7 +90,8 @@ def disk_calibration(low_procs: int, high_procs: int,
 
 def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
             trans_path: str, n_queries: int, warmup: bool,
-            pin: bool = False, driver_cores: str = "28-31") -> dict:
+            pin: bool = False, driver_cores: str = "28-31",
+            probe: bool = False) -> dict:
     zip_path = os.path.join(ROOT, "dist", "pdx_spark.zip")
     idx = f"/tmp/pdx_cluster_idx_w{workers}"
     shutil.rmtree(idx, ignore_errors=True)
@@ -105,7 +106,12 @@ def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
-        "--conf", "spark.ui.enabled=false",
+        # one scan task per segment file (see pdx_spark/config.py) —
+        # default split packing re-bins the files into ~cores bins and
+        # the straggler bin costs the high leg a whole extra wave
+        "--conf", "spark.sql.files.maxPartitionBytes=33554432",
+        "--conf", "spark.sql.files.openCostInBytes=8388608",
+        "--conf", f"spark.ui.enabled={'true' if probe else 'false'}",
         "--py-files", zip_path,
         os.path.join(ROOT, "tools", "submit_job.py"),
         "--transcripts", trans_path,
@@ -146,6 +152,13 @@ def main():
                     help="pin executor trees to exactly N host cores "
                          "(driver on its own fixed cores) — a hard CPU "
                          "budget per cluster size")
+    ap.add_argument("--probe", action="store_true",
+                    help="enable the Spark UI so legs report per-phase "
+                         "executor run/cpu time and parallel occupancy "
+                         "(diagnostic runs; keep off for timed evidence)")
+    ap.add_argument("--median", action="store_true",
+                    help="report per-leg MEDIAN instead of best-of-N "
+                         "(the round-3 judge's acceptance metric)")
     args = ap.parse_args()
 
     subprocess.run([sys.executable,
@@ -164,14 +177,22 @@ def main():
         for w in (args.workers_high, args.workers_low):
             leg = run_leg(w, args.cores_per_worker, args.mem_gb,
                           trans_path, args.queries, warmup=(rep == 0),
-                          pin=args.pin)
+                          pin=args.pin, probe=args.probe)
             legs[w].append(leg)
             print(f"# rep{rep} w{w} ({w * args.cores_per_worker}c): "
                   f"build={leg.get('build_sec')}s query={leg['query_sec']}s "
-                  f"rows={leg['result_rows']}", file=sys.stderr, flush=True)
+                  f"rows={leg['result_rows']}"
+                  + (f" build_stages={json.dumps(leg.get('build_stages'))}"
+                     f" build_exec={json.dumps(leg.get('build_exec'))}"
+                     f" query_exec={json.dumps(leg.get('query_exec'))}"
+                     if args.probe else ""),
+                  file=sys.stderr, flush=True)
+
+    import statistics
 
     def best(w, key):
-        return min(l[key] for l in legs[w])
+        vals = [l[key] for l in legs[w]]
+        return statistics.median(vals) if args.median else min(vals)
 
     lo_w, hi_w = args.workers_low, args.workers_high
     lo_c = lo_w * args.cores_per_worker
@@ -201,7 +222,12 @@ def main():
             (build_lo / build_hi) / ratio
             / max(calib["disk_efficiency_ceiling"], 1e-9), 3),
         "repeats": args.repeats,
-        "note": "best-of-N per leg, legs interleaved; each executor is a "
+        "aggregate": "median" if args.median else "best",
+        "all_legs": {str(w): [{"build_sec": l.get("build_sec"),
+                               "query_sec": l["query_sec"]}
+                              for l in legs[w]] for w in legs},
+        "note": ("median" if args.median else "best")
+                + "-of-N per leg, legs interleaved; each executor is a "
                 "separate JVM process with its own python workers "
                 "(spark-submit --py-files dist/pdx_spark.zip)",
     }
@@ -215,7 +241,8 @@ Corpus: {n_turns:,} turns (deterministic fixture, scale={args.scale});
 dist/pdx_spark.zip` against `local-cluster[{lo_w},{args.cores_per_worker},..]`
 vs `local-cluster[{hi_w},{args.cores_per_worker},..]` — {lo_w} vs {hi_w}
 separate executor JVM processes ({lo_c} vs {hi_c} cores), the north
-rule's two-cluster-size run mode with process isolation. Best of
+rule's two-cluster-size run mode with process isolation.
+{'Median' if args.median else 'Best'} of
 {args.repeats} interleaved repeats per leg.
 
 | phase | {lo_w} exec ({lo_c}c) | {hi_w} exec ({hi_c}c) | thpt {lo_c}c | thpt {hi_c}c | efficiency N->4N |

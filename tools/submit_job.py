@@ -94,6 +94,55 @@ def pin_processes(exec_cores: set[int], driver_cores: set[int]) -> int:
     return n
 
 
+def _stage_totals(spark):
+    """Aggregate completed-stage executor metrics via the UI REST API
+    (None when the UI is disabled — the default in timed runs). Diffing
+    snapshots around a phase separates executor work (runTime/cpuTime)
+    from driver/serial time: wall*cores - runTime = cores idle waiting
+    on the driver, the quantity the N->4N efficiency number hides."""
+    try:
+        import json as _json
+        import urllib.request
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages") as r:
+            data = _json.load(r)
+        agg: dict[str, float] = {}
+        for s in data:
+            if s.get("status") not in ("COMPLETE", "ACTIVE"):
+                continue
+            for k in ("executorRunTime", "executorCpuTime",
+                      "executorDeserializeTime", "numCompleteTasks",
+                      "inputBytes", "shuffleReadBytes",
+                      "shuffleWriteBytes"):
+                agg[k] = agg.get(k, 0) + (s.get(k) or 0)
+        return agg
+    except Exception:
+        return None
+
+
+def _phase_delta(a, b, wall_sec: float, cores: int):
+    if a is None or b is None:
+        return None
+    d = {k: b.get(k, 0) - a.get(k, 0) for k in b}
+    run_s = d.get("executorRunTime", 0) / 1e3
+    return {
+        "exec_run_sec": round(run_s, 2),
+        "exec_cpu_sec": round(d.get("executorCpuTime", 0) / 1e9, 2),
+        "deser_sec": round(d.get("executorDeserializeTime", 0) / 1e3, 2),
+        "tasks": int(d.get("numCompleteTasks", 0)),
+        "input_mb": round(d.get("inputBytes", 0) / 1e6, 1),
+        "shuffle_mb": round((d.get("shuffleReadBytes", 0)
+                             + d.get("shuffleWriteBytes", 0)) / 1e6, 1),
+        # cores-seconds NOT spent running tasks: driver/serial + sched
+        "idle_core_sec": round(max(0.0, wall_sec * cores - run_s), 2),
+        "parallel_occupancy": round(run_s / max(wall_sec * cores, 1e-9), 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", required=True)
@@ -149,21 +198,42 @@ def main():
         import shutil
         shutil.rmtree(wpath, ignore_errors=True)
 
+    ncores = spark.sparkContext.defaultParallelism
     if not args.skip_build:
         if pin:
             pin()
+        snap0 = _stage_totals(spark)
         t0 = time.time()
-        Indexer(spark).build(df, args.index, n_chunks=1)
+        man = Indexer(spark).build(df, args.index, n_chunks=1)
         out["build_sec"] = round(time.time() - t0, 3)
+        ph = _phase_delta(snap0, _stage_totals(spark),
+                          out["build_sec"], ncores)
+        if ph is not None:
+            out["build_exec"] = ph
         out["build_turns_per_sec"] = round(n_turns / out["build_sec"], 1)
+        # per-stage breakdown so N-vs-4N legs show WHICH stage scaled
+        stages = {}
+        for ent in man.get("lineage", []):
+            for k, v in (ent.get("timings") or {}).items():
+                stages[k] = stages.get(k, 0.0) + float(v)
+        for key, ch in man.get("chunks", {}).items():
+            stages[f"encode_chunk{key}"] = float(ch.get("sec", 0.0))
+        for ent in man.get("lineage", []):
+            if ent.get("stage") == "build_complete":
+                stages["total"] = float(ent["sec"])
+        out["build_stages"] = stages
 
     s = Searcher.load(spark, args.index)
     s.search_batch(queries[:4])  # warm the scan path, cache idf plumbing
     if pin:
         pin()  # catch python daemons spawned since the last pin
+    snap0 = _stage_totals(spark)
     t0 = time.time()
     rows = s.search_batch(queries).count()
     out["query_sec"] = round(time.time() - t0, 3)
+    ph = _phase_delta(snap0, _stage_totals(spark), out["query_sec"], ncores)
+    if ph is not None:
+        out["query_exec"] = ph
     out["qps"] = round(len(queries) / out["query_sec"], 2)
     out["result_rows"] = rows
     print("PDXRESULT " + json.dumps(out))
