@@ -80,6 +80,63 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     return out
 
 
+def unpack_rows(bufs, widths: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    """Decode a sequence of packed blocks into ONE concatenated int64
+    array, order preserved.
+
+    Same-width blocks whose payload is byte-aligned (n*width % 8 == 0 —
+    true for every FULL block: block_size is a multiple of 8, so only a
+    posting run's final partial block can be unaligned) are decoded in
+    a single unpackbits pass over their concatenated buffers. numpy's
+    fixed per-call cost (~17 us) dominates a 128-value block decode, so
+    per-block decoding made the scan decode-bound at large batches;
+    batching by (term, width) amortizes it across the term's blocks."""
+    total = int(ns.sum())
+    out = np.empty(total, dtype=np.int64)
+    ends = np.cumsum(ns)
+    starts = ends - ns
+    aligned = (ns * widths) % 8 == 0
+    for w in np.unique(widths):
+        idx = np.nonzero(widths == w)[0]
+        al = idx[aligned[idx]]
+        if len(al):
+            if w == 0:
+                for i in al:
+                    out[starts[i]:ends[i]] = 0
+            else:
+                cat = b"".join(bufs[i] for i in al)
+                vals = unpack(cat, int(w), int(ns[al].sum()))
+                off = 0
+                for i in al:
+                    c = int(ns[i])
+                    out[starts[i]:ends[i]] = vals[off:off + c]
+                    off += c
+        for i in idx[~aligned[idx]]:
+            out[starts[i]:ends[i]] = unpack(bufs[i], int(w), int(ns[i]))
+    return out
+
+
+def decode_term_run(bufs_ids, bufs_tfs, bufs_dls, ids_bw, tfs_bw, dls_bw,
+                    ns, first_doc, last_doc):
+    """Decode one (term, shard) run of blocks (block_id order) into
+    (doc_ids, tfs, dls) concatenated across the blocks — the batched
+    equivalent of decode_block row-by-row, bit-identical output.
+
+    Per-block delta chains restart at each block's first_doc; after
+    concatenation the chain is stitched by patching each block's leading
+    delta (0 by construction) to first_doc[i] - last_doc[i-1], so ONE
+    cumsum reproduces every block's absolute ids."""
+    deltas = unpack_rows(bufs_ids, ids_bw, ns)
+    starts = np.cumsum(ns) - ns
+    patch = first_doc.astype(np.int64, copy=True)
+    patch[1:] -= last_doc[:-1]
+    deltas[starts] += patch
+    doc_ids = np.cumsum(deltas)
+    tfs = unpack_rows(bufs_tfs, tfs_bw, ns) + 1
+    dls = unpack_rows(bufs_dls, dls_bw, ns)
+    return doc_ids, tfs, dls
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """SEGMENTS row (dict-like / pandas row) -> (doc_ids, tfs, dls)."""
     n = int(row["n"])

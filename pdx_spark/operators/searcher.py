@@ -28,11 +28,12 @@ Mirrors the reference's pruned scan (PDXearch::Search,
      rescored; a union would duplicate rows). Inside a shard the
      scorer builds a per-doc upper-bound array from block metadata
      alone (range-add/cumsum), masks docs below θ, skips terms with no
-     surviving candidate, decodes each term once per batch, and scores
-     with one vectorized add per (query, term) in float64 (numpy is
-     our SIMD; scalar_computers.hpp:19-44's role). Exactness: every
-     term with a candidate is decoded fully, so candidate scores are
-     complete; pruned docs provably score < θ.
+     surviving candidate, decodes each term ONCE PER PARTITION (all of
+     the partition's shards in one batched unpack, sliced per shard by
+     searchsorted), and scores with one vectorized add per (query,
+     term) in float64 (numpy is our SIMD; scalar_computers.hpp:19-44's
+     role). Exactness: every term with a candidate is decoded fully,
+     so candidate scores are complete; pruned docs provably score < θ.
   5. Global merge: per-partition per-query top-k -> window top-k per
      query (Spark's TakeOrderedAndProject-equivalent, executor-side),
      then a final Σk-row collect. Tie-break (score desc, doc_id asc).
@@ -58,7 +59,7 @@ from pyspark.sql import functions as F
 from pdx_spark import schemas
 from pdx_spark.config import SEED, BM25Params, IndexConfig
 from pdx_spark.fs import index_fs, verify_single_rowgroup
-from pdx_spark.functions.blocks import decode_block
+from pdx_spark.functions.blocks import decode_term_run
 from pdx_spark.functions.bm25 import idf_np, tfnorm_col, tfnorm_np
 from pdx_spark.functions.tokenize import tokenize_py
 from pdx_spark.operators.indexer import read_manifest
@@ -203,7 +204,7 @@ def _shard_scorer(payload: dict, has_aux: bool):
                               "score": pd.Series([], dtype="float64")})
 
     def score_shard(seg_pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None,
-                    assigned_override=None):
+                    assigned_override=None, part_lookup=None):
         if len(seg_pdf) == 0:
             return empty_out
         shard = int(seg_pdf["shard"].iloc[0])
@@ -256,22 +257,43 @@ def _shard_scorer(payload: dict, has_aux: bool):
         # Scoring is then ONE fancy-index add per (query, term) — the
         # per-(query, term, block) Python loop was the CPU hot spot (and
         # its memory churn was what broke N->4N scaling on shared hosts).
-        records_box: list = [None]
+        cols_box: list = [None]
         decoded_terms: dict[str, tuple] = {}
 
         def term_arrays(t: str):
             hit = decoded_terms.get(t)
             if hit is None:
-                if records_box[0] is None:
-                    records_box[0] = seg_pdf.to_dict("records")
-                recs = records_box[0]
-                s, e = term_rows[t]
-                poss, gs = [], []
-                for r in range(s, e):
-                    ids, tfs, dls = decode_block(recs[r])
-                    poss.append(ids - base)
-                    gs.append(tfnorm_np(tfs, dls, avgdl, params))
-                hit = (np.concatenate(poss), np.concatenate(gs))
+                if part_lookup is not None:
+                    # partition-level decode (one pass per term across
+                    # ALL the partition's shards) + slice: the term's
+                    # absolute ids are ascending, so this shard's run is
+                    # a contiguous [base, base+width) window
+                    ids_abs, g_all = part_lookup(t)
+                    lo = np.searchsorted(ids_abs, base)
+                    hi = np.searchsorted(ids_abs, base + width)
+                    hit = (ids_abs[lo:hi] - base, g_all[lo:hi])
+                else:
+                    if cols_box[0] is None:
+                        cols_box[0] = (
+                            seg_pdf["n"].to_numpy(np.int64),
+                            seg_pdf["ids_bw"].to_numpy(np.int64),
+                            seg_pdf["tfs_bw"].to_numpy(np.int64),
+                            seg_pdf["dls_bw"].to_numpy(np.int64),
+                            seg_pdf["ids"].to_numpy(),
+                            seg_pdf["tfs"].to_numpy(),
+                            seg_pdf["dls"].to_numpy())
+                    n_a, ibw, tbw, dbw, ib, tb, db = cols_box[0]
+                    s, e = term_rows[t]
+                    # first/last are already base-relative; the delta-
+                    # chain stitch only uses their differences plus the
+                    # leading absolute start, so the decoded ids come
+                    # out base-relative too (== pos) — bit-identical to
+                    # a per-block decode loop, one unpack pass per
+                    # (term, bit-width) instead of per block
+                    pos, tfs, dls = decode_term_run(
+                        ib[s:e], tb[s:e], db[s:e], ibw[s:e], tbw[s:e],
+                        dbw[s:e], n_a[s:e], first[s:e], last[s:e])
+                    hit = (pos, tfnorm_np(tfs, dls, avgdl, params))
                 decoded_terms[t] = hit
             return hit
 
@@ -317,6 +339,9 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 pos, g = term_arrays(t)
                 # within one term a doc appears once, so fancy-index +=
                 # is safe and bit-identical to the per-block accumulation
+                # (a dense cached-vector variant measured SLOWER under
+                # real memory traffic: 64 KB read+write per term-add vs
+                # the scatter's nnz-proportional footprint)
                 scores[pos] += idf[t] * g
                 touched = True
             if not touched:
@@ -328,15 +353,28 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 sel = np.flatnonzero(cand & (scores > 0))
             if len(sel) == 0:
                 continue
-            order = np.lexsort((sel, -scores[sel]))[:k]
+            vals = scores[sel]
+            if len(sel) > 4 * k + 64:
+                # O(n) pre-cut before the O(n log n) sort: keep every doc
+                # scoring >= the k-th largest value (ties INCLUDED, so
+                # the doc-asc tie-break below still sees them) — a hot
+                # term makes |sel| thousands per shard and the full
+                # lexsort was the scorer's top cost at large batches
+                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                keep = vals >= kth
+                sel, vals = sel[keep], vals[keep]
+            order = np.lexsort((sel, -vals))[:k]
             top = sel[order]
-            out_q.extend([qid] * len(top))
-            out_d.extend((top + base).tolist())
-            out_s.extend(scores[top].tolist())
+            out_q.append(np.full(len(top), qid, dtype=np.int32))
+            out_d.append(top.astype(np.int64) + base)
+            out_s.append(vals[order])
 
-        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int32"),
-                             "doc_id": pd.Series(out_d, dtype="int64"),
-                             "score": pd.Series(out_s, dtype="float64")})
+        if not out_q:
+            return empty_out
+        return pd.DataFrame({
+            "query_id": pd.Series(np.concatenate(out_q), dtype="int32"),
+            "doc_id": pd.Series(np.concatenate(out_d), dtype="int64"),
+            "score": pd.Series(np.concatenate(out_s), dtype="float64")})
 
     if has_aux:
         def fn(key, seg_pdf, aux_pdf):  # cogrouped variant
@@ -379,6 +417,51 @@ def _partition_scorer(payload: dict):
         if not pdfs:
             return
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+
+        # partition-level decode cache: each term's blocks across ALL of
+        # this partition's shards decode in ONE pass (a (term, shard)
+        # run averages ~1.5 blocks, so per-shard decode paid numpy's
+        # fixed per-call cost ~100x per term per partition); score_shard
+        # then slices its shard's window out of the ascending ids
+        box: list = [None]
+        pcache: dict[str, tuple] = {}
+        avgdl_, params_ = payload["avgdl"], BM25Params(
+            k1=payload["k1"], b=payload["b"])
+
+        def part_lookup(t: str):
+            hit = pcache.get(t)
+            if hit is None:
+                if box[0] is None:
+                    ps = pdf.sort_values(["term", "first_doc"],
+                                         kind="mergesort")
+                    terms_np = ps["term"].to_numpy()
+                    chg = np.nonzero(terms_np[1:] != terms_np[:-1])[0] + 1
+                    st = np.concatenate([[0], chg])
+                    en = np.concatenate([chg, [len(terms_np)]])
+                    box[0] = (
+                        {str(terms_np[s]): (s, e) for s, e in zip(st, en)},
+                        ps["n"].to_numpy(np.int64),
+                        ps["first_doc"].to_numpy(np.int64),
+                        ps["last_doc"].to_numpy(np.int64),
+                        ps["ids_bw"].to_numpy(np.int64),
+                        ps["tfs_bw"].to_numpy(np.int64),
+                        ps["dls_bw"].to_numpy(np.int64),
+                        ps["ids"].to_numpy(),
+                        ps["tfs"].to_numpy(),
+                        ps["dls"].to_numpy())
+                (tidx, n_a, fd, ld, ibw, tbw, dbw, ib, tb, db) = box[0]
+                se = tidx.get(t)
+                if se is None:
+                    hit = (np.empty(0, dtype=np.int64), np.empty(0))
+                else:
+                    s, e = se
+                    ids, tfs, dls = decode_term_run(
+                        ib[s:e], tb[s:e], db[s:e], ibw[s:e], tbw[s:e],
+                        dbw[s:e], n_a[s:e], fd[s:e], ld[s:e])
+                    hit = (ids, tfnorm_np(tfs, dls, avgdl_, params_))
+                pcache[t] = hit
+            return hit
+
         parts = []
         for _, grp in pdf.groupby("shard", sort=False):
             sh = int(grp["shard"].iloc[0])
@@ -386,14 +469,16 @@ def _partition_scorer(payload: dict):
                 qids = routing.get(sh)
                 if not qids:
                     continue
-                out = score_shard(grp, None, assigned_override=qids)
+                out = score_shard(grp, None, assigned_override=qids,
+                                  part_lookup=part_lookup)
             elif anti is not None and sh in anti:
                 qids = all_qids - anti[sh]
                 if not qids:
                     continue
-                out = score_shard(grp, None, assigned_override=qids)
+                out = score_shard(grp, None, assigned_override=qids,
+                                  part_lookup=part_lookup)
             else:
-                out = score_shard(grp, None)
+                out = score_shard(grp, None, part_lookup=part_lookup)
             if len(out):
                 parts.append(out)
         if not parts:
