@@ -72,7 +72,14 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
            .join(F.broadcast(offsets_df), pid == F.col("pid"))
            .withColumn("doc_id", (F.col("part_offset") + local).cast("long"))
            .select("conv_id", "turn_idx", "doc_id"))
-    return transcripts.join(ids, ["conv_id", "turn_idx"])
+    # shuffle-HASH join, not sort-merge: the corpus side carries the raw
+    # text, and SMJ would sort (and at scale spill) those wide rows just
+    # to meet the slim ids — hashing the small ids side per partition
+    # lets the text stream through its shuffle unsorted (measured: the
+    # docs/stats stage is the build's least-scaling phase and its cost
+    # is this join's disk traffic)
+    return transcripts.join(ids.hint("shuffle_hash"),
+                            ["conv_id", "turn_idx"])
 
 
 def build_docs(with_ids: DataFrame, dp: DataFrame | None = None) -> DataFrame:
