@@ -27,6 +27,7 @@ completed chunks. Analog of Save/Restore (index.hpp:213-267).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -322,7 +323,8 @@ class Indexer:
             # task waves (straggler smoothing — one file = one wave is the
             # worst case) and (b) no file approaches the reader's split
             # threshold (map-scan exactness invariant, searcher.py)
-            n_encode = max(4 * self.spark.sparkContext.defaultParallelism,
+            mult = int(os.environ.get("PDX_ENCODE_FILES_PER_CORE", "4"))
+            n_encode = max(mult * self.spark.sparkContext.defaultParallelism,
                            int(self.spark.conf.get(
                                "spark.sql.shuffle.partitions", "8")))
             n_chunks = manifest["n_chunks"]

@@ -399,9 +399,12 @@ def _partition_scorer(payload: dict):
     computed within a single fragment. A shard split across fragments
     (base + delta dirs) yields per-fragment top-k lists whose union is a
     superset of the true shard top-k — exact after the global window
-    merge. Files must not be split mid-file by the reader: segment files
-    (10s of MB) stay far below spark.sql.files.maxPartitionBytes; load()
-    asserts this invariant."""
+    merge. Files must not be split mid-ROW-GROUP by the reader: segment
+    files hold exactly one row group (writer-verified, manifest
+    `seg_single_rg`), and Spark assigns a parquet row group to the one
+    byte-range split containing its midpoint — so even a file larger
+    than maxPartitionBytes yields one real fragment plus empty phantom
+    splits, never a torn shard. load() checks the flag."""
     routing = payload.get("routing")
     # anti_routing: shard -> set(query_id) to SKIP (already scored in the
     # seed phase) — lets the unrouted fallback reuse seed results instead

@@ -126,7 +126,14 @@ def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
         # in both legs (a real cluster's driver node is constant too)
         cmd += ["--pin-exec", f"0-{cores - 1}",
                 "--pin-driver", driver_cores]
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    env = dict(os.environ)
+    # finer segment-file granularity for the legs: at 1-core executors a
+    # handful of fat scan tasks leaves the high leg a straggler wave
+    # (SCALE.md "Scan granularity"); 8 files per build core gives 8
+    # balanced waves at both cluster sizes. A layout knob, same code.
+    env.setdefault("PDX_ENCODE_FILES_PER_CORE", "8")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                          env=env)
     shutil.rmtree(idx, ignore_errors=True)
     for line in proc.stdout.splitlines():
         if line.startswith("PDXRESULT "):
