@@ -33,19 +33,36 @@ def normalized_text_col(col):
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
-                     normalize: bool = False) -> DataFrame:
+                     normalize: bool = False,
+                     max_doc_ids: int | None = None) -> DataFrame:
     """-> (text_md5, n_dups, canonical_doc_id, doc_ids sorted): groups of
     byte-identical (or, with normalize=True, case/whitespace-insensitive)
-    texts (size >= 2). One shuffle on the hash."""
+    texts (size >= 2). One shuffle on the hash.
+
+    max_doc_ids bounds the per-group doc_ids array (smallest ids kept):
+    at 100 TB a boilerplate corpus has hash groups with 1e8 members
+    (empty strings, templated docs) and an unbounded collect_list
+    materializes the whole array in one reducer row. With the cap the
+    listing goes through a row_number window (streaming sort, spillable)
+    and collect_list only sees rows under the cap; n_dups and
+    canonical_doc_id stay exact. None = full arrays (oracle parity on
+    small data)."""
     base = F.coalesce(F.col(text_col), F.lit(""))
     if normalize:
         base = normalized_text_col(base)
     h = F.md5(base)
-    return (df.select(F.col("doc_id"), h.alias("text_md5"))
-            .groupBy("text_md5")
+    ids = df.select(F.col("doc_id"), h.alias("text_md5"))
+    if max_doc_ids is None:
+        listed = F.collect_list("doc_id")
+    else:
+        w = Window.partitionBy("text_md5").orderBy("doc_id")
+        ids = ids.withColumn("rn", F.row_number().over(w))
+        listed = F.collect_list(
+            F.when(F.col("rn") <= max_doc_ids, F.col("doc_id")))
+    return (ids.groupBy("text_md5")
             .agg(F.count("*").cast("long").alias("n_dups"),
                  F.min("doc_id").alias("canonical_doc_id"),
-                 F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+                 F.array_sort(listed).alias("doc_ids"))
             .filter(F.col("n_dups") >= 2))
 
 
@@ -193,24 +210,40 @@ def simhash63(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           max_band_df: int | None = None) -> DataFrame:
     """Candidate pairs via 16-bit band buckets of the simhash (pigeonhole:
     hamming<=3 over 4 bands guarantees one identical band), verified by
-    exact popcount of xor. -> (doc_a, doc_b, hamming)."""
+    exact popcount of xor. -> (doc_a, doc_b, hamming).
+
+    max_band_df caps hot band buckets (scale guard, mirrors
+    ngram_jaccard_pairs' max_shingle_df): the band self-join is quadratic
+    within a bucket, and near-empty/templated docs concentrate in one
+    simhash band value, reviving the all-pairs blowup banding exists to
+    avoid. Buckets with more than max_band_df members are dropped from
+    candidate generation — this CAN drop true near-dup pairs whose only
+    shared band is a capped one (document downstream; exact twins are
+    better handled by exact_dup_groups first). None = off (oracle parity
+    on small data)."""
     sim = simhash63(df, text_col)
-    bands = [((F.shiftright(F.col("simhash"), 16 * i)).bitwiseAND(0xFFFF))
-             .alias(f"band{i}") for i in range(4)]
-    sb = sim.select("doc_id", "simhash", *bands)
-    cand = None
-    for i in range(4):
-        a = sb.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sim_a"), F.col(f"band{i}").alias("bk"))
-        b = sb.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sim_b"), F.col(f"band{i}").alias("bk"))
-        c = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")) \
-             .select("doc_a", "doc_b", "sim_a", "sim_b")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 (F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(0xFFFF))
+                 .alias("bk"))
+        for i in range(4)])
+    buckets = (sim.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
+               .select("doc_id", "simhash", "bb.band", "bb.bk"))
+    if max_band_df is not None:
+        hot = (buckets.groupBy("band", "bk").count()
+               .filter(F.col("count") > max_band_df).select("band", "bk"))
+        buckets = buckets.join(hot, ["band", "bk"], "left_anti")
+    a = buckets.select(F.col("doc_id").alias("doc_a"),
+                       F.col("simhash").alias("sim_a"), "band", "bk")
+    b = buckets.select(F.col("doc_id").alias("doc_b"),
+                       F.col("simhash").alias("sim_b"), "band", "bk")
+    cand = (a.join(b, ["band", "bk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b").distinct())
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)

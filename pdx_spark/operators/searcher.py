@@ -354,7 +354,7 @@ def _shard_scorer(payload: dict, has_aux: bool):
             if len(sel) == 0:
                 continue
             vals = scores[sel]
-            if len(sel) > 4 * k + 64:
+            if k > 0 and len(sel) > 4 * k + 64:
                 # O(n) pre-cut before the O(n log n) sort: keep every doc
                 # scoring >= the k-th largest value (ties INCLUDED, so
                 # the doc-asc tie-break below still sees them) — a hot

@@ -109,3 +109,52 @@ def test_embedding_cosine_pairs(spark):
     assert pairs[(0, 5)] == 1.0
     assert pairs[(1, 6)] == 1.0  # cosine is scale-invariant
     assert set(pairs) == {(0, 5), (1, 6)}
+
+
+def test_exact_dups_capped_doc_ids(spark):
+    """Boilerplate corpus: one hash group with 10^3 members. With
+    max_doc_ids the listing is bounded (smallest ids kept) while n_dups
+    and canonical_doc_id stay exact; the capped path must agree with the
+    uncapped one on those fields."""
+    rows = [(i, "boilerplate header text") for i in range(1000)]
+    rows += [(2000, "a unique document"), (2001, "another unique one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = exact_dup_groups(df, max_doc_ids=5).collect()
+    assert len(capped) == 1
+    g = capped[0]
+    assert g["n_dups"] == 1000
+    assert g["canonical_doc_id"] == 0
+    assert g["doc_ids"] == [0, 1, 2, 3, 4]
+    # and cap larger than the group == uncapped result
+    full = exact_dup_groups(df, max_doc_ids=5000).collect()[0]
+    assert full["doc_ids"] == list(range(1000))
+
+
+def test_simhash_band_cap_bounds_hot_buckets(spark):
+    """Degenerate corpus: many identical boilerplate docs concentrate in
+    one band bucket per band; the cap drops those buckets from candidate
+    generation (documented recall trade) while distinct near-dup pairs in
+    cold buckets survive."""
+    rows = [(i, "same exact boilerplate everywhere") for i in range(200)]
+    rows += [(1000, "rare quick brown fox jumps high"),
+             (1001, "rare quick brown fox jumps high")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in simhash_near_dup_pairs(df, max_hamming=3,
+                                             max_band_df=50).collect()}
+    # the 200-member boilerplate bucket (19,900 pairs) is capped away...
+    assert all(a >= 1000 for a, _ in pairs)
+    # ...while the small-bucket pair is still found
+    assert (1000, 1001) in pairs
+
+
+def test_simhash_pairs_uncapped_unchanged_by_refactor(docs_df):
+    """The exploded-bucket rewrite must produce the identical pair set the
+    4-way-union implementation did (union of per-band joins == join on
+    the exploded (band, bk) frame)."""
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(docs_df, max_hamming=63).collect()}
+    # every candidate pair that shares any band appears exactly once
+    assert pairs[(0, 1)] == 0 and pairs[(3, 4)] == 0
+    for (a, b), h in pairs.items():
+        assert a < b and 0 <= h <= 63

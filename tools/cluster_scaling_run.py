@@ -139,6 +139,10 @@ def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
         if line.startswith("PDXRESULT "):
             out = json.loads(line[len("PDXRESULT "):])
             out["workers"] = workers
+            # record the effective layout knob so published scaling
+            # evidence is reproducible from the artifact alone
+            out["encode_files_per_core"] = int(
+                env["PDX_ENCODE_FILES_PER_CORE"])
             return out
     raise RuntimeError(
         f"leg w={workers} produced no result; rc={proc.returncode}\n"

@@ -108,7 +108,8 @@ def _stage_totals(spark):
             return None
         app_id = spark.sparkContext.applicationId
         with urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app_id}/stages") as r:
+                f"{ui}/api/v1/applications/{app_id}/stages",
+                timeout=5) as r:
             data = _json.load(r)
         agg: dict[str, float] = {}
         for s in data:
