@@ -62,7 +62,7 @@ from pdx_spark.fs import index_fs, verify_single_rowgroup
 from pdx_spark.functions.blocks import decode_term_run
 from pdx_spark.functions.bm25 import idf_np, tfnorm_col, tfnorm_np
 from pdx_spark.functions.tokenize import tokenize_py
-from pdx_spark.operators.indexer import read_manifest
+from pdx_spark.operators.indexer import MANIFEST, read_manifest
 
 _THETA_GUARD = 1e-9  # float-monotonicity guard on upper-bound comparisons
 
@@ -84,9 +84,12 @@ _PLAN_SLICE_CAP = 2_000_000
 
 # adaptive-planner feedback: after this many consecutive unrouted
 # fallbacks (θ pruned nothing), skip the seed phase; re-probe two-phase
-# after this many bypassed batches
+# after this many bypassed batches OR this many wall seconds (ten
+# bypassed batches can be ten seconds or ten hours) OR any on-disk
+# manifest change (append/compact can make a corpus prunable)
 _UNROUTED_BYPASS = 2
 _BYPASS_REPROBE = 10
+_BYPASS_REPROBE_SECS = 300.0
 
 # cogroup side-channel row kinds (one aux frame carries both because
 # applyInPandas cogroups exactly two frames); aux rows are
@@ -551,6 +554,8 @@ class Searcher:
         # adaptive scan switch, searcher.hpp:321-345)
         self._unrouted_streak = 0
         self._bypassed = 0
+        self._bypass_started: float | None = None  # monotonic, 1st bypass
+        self._manifest_fp = self._manifest_fingerprint()
         # workload key for the bypass: smallest live-query count among the
         # batches that fell back — bypass applies only to batches of
         # comparable-or-larger size, so a stream of small selective
@@ -562,6 +567,37 @@ class Searcher:
         # observability hook ops dashboards and tests read
         self.last_plan: dict = {}
         self._map_scan_ok = self._verify_scan_granularity()
+
+    def _manifest_fingerprint(self) -> str:
+        """Cheap generation token for the on-disk manifest (a small JSON
+        read). Unreadable manifest -> '' so a transient fs error never
+        crashes planning; '' != loaded fp just triggers a re-probe."""
+        try:
+            import hashlib
+            from pdx_spark.fs import IndexFS
+            text = self.fs.read_text(IndexFS.join(self.path, MANIFEST))
+            return hashlib.md5(text.encode()).hexdigest()
+        except Exception:
+            return ""
+
+    def _bypass_expired(self) -> bool:
+        """Should the seed-phase bypass re-probe two-phase NOW? Yes after
+        _BYPASS_REPROBE bypassed batches, after _BYPASS_REPROBE_SECS wall
+        seconds, or when the on-disk manifest changed since load
+        (append/compact bumps it — a grown corpus may have become
+        prunable). The manifest read only happens while bypassing, so
+        steady-state two-phase batches pay nothing."""
+        if self._bypassed >= _BYPASS_REPROBE:
+            return True
+        if (self._bypass_started is not None
+                and time.monotonic() - self._bypass_started
+                > _BYPASS_REPROBE_SECS):
+            return True
+        fp = self._manifest_fingerprint()
+        if fp != self._manifest_fp:
+            self._manifest_fp = fp
+            return True
+        return False
 
     def _verify_scan_granularity(self) -> bool:
         """The shuffle-free map-scan is exact only if the reader never
@@ -745,9 +781,10 @@ class Searcher:
         big_batch = len(live) * seed_shards >= n_shards_total
         bypass = False
         if self._unrouted_streak >= _UNROUTED_BYPASS:
-            if self._bypassed >= _BYPASS_REPROBE:
+            if self._bypass_expired():
                 self._unrouted_streak = 0  # re-probe two-phase
                 self._bypassed = 0
+                self._bypass_started = None
             elif (self._unrouted_min_live is None
                     or 2 * len(live) >= self._unrouted_min_live):
                 # bypass only batches that RESEMBLE the ones that fell
@@ -755,6 +792,8 @@ class Searcher:
                 # differently and deserves its own two-phase probe
                 bypass = True
                 self._bypassed += 1
+                if self._bypass_started is None:
+                    self._bypass_started = time.monotonic()
         if exact or (not force_two_phase
                      and (n_shards_total < max(two_phase_min_shards,
                                                4 * seed_shards)

@@ -138,15 +138,24 @@ def lsh_topk_batch(bucketed: DataFrame, queries: list[tuple[int, list[float]]],
     probes = spark.createDataFrame(probe_rows, "query_id int, bucket int")
     qvecs = spark.createDataFrame(qvec_rows,
                                   "query_id int, qv array<double>, qn double")
-    joined = (bucketed.join(F.broadcast(probes), "bucket")
+    src = _with_vec_norm(bucketed, vec_col)
+    joined = (src.join(F.broadcast(probes), "bucket")
               .join(F.broadcast(qvecs), "query_id"))
-    score = _dot(F.col(vec_col), F.col("qv")) / (_norm(F.col(vec_col))
-                                                 * F.col("qn"))
+    score = _dot(F.col(vec_col), F.col("qv")) / (F.col("nrm") * F.col("qn"))
     scored = joined.select("query_id", F.col(id_col).alias("vec_id"),
                            score.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _with_vec_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Reuse a persisted `nrm` column (written by AnnIndex._write_vectors)
+    or compute it BELOW the probe join — either way the norm aggregate
+    runs once per vector, never once per (query, vector) joined row."""
+    if "nrm" in df.columns:
+        return df
+    return df.withColumn("nrm", _norm(F.col(vec_col)))
 
 
 def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
@@ -276,10 +285,10 @@ def ivf_topk_batch(assigned: DataFrame, centroids: np.ndarray,
     probes = spark.createDataFrame(probe_rows, "query_id int, bucket int")
     qvecs = spark.createDataFrame(qvec_rows,
                                   "query_id int, qv array<double>, qn double")
-    joined = (assigned.join(F.broadcast(probes), "bucket")
+    src = _with_vec_norm(assigned, vec_col)
+    joined = (src.join(F.broadcast(probes), "bucket")
               .join(F.broadcast(qvecs), "query_id"))
-    score = _dot(F.col(vec_col), F.col("qv")) / (_norm(F.col(vec_col))
-                                                 * F.col("qn"))
+    score = _dot(F.col(vec_col), F.col("qv")) / (F.col("nrm") * F.col("qn"))
     scored = joined.select("query_id", F.col(id_col).alias("vec_id"),
                            score.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -329,7 +338,12 @@ class AnnIndex:
         from pdx_spark.fs import IndexFS, index_fs
         fs = index_fs(spark, path)
         tmp = IndexFS.join(path, "vectors.tmp")
-        bucketed.sortWithinPartitions("bucket") \
+        # persist each vector's L2 norm once at build: the batched
+        # scorers fan a vector out to every query probing its bucket,
+        # and recomputing the norm per joined row costs Q aggregates
+        # per vector per batch
+        bucketed.withColumn("nrm", _norm(F.col("embedding"))) \
+                .sortWithinPartitions("bucket") \
                 .write.mode("overwrite").parquet(tmp)
         final = IndexFS.join(path, "vectors")
         fs.rename(tmp, final)

@@ -180,3 +180,24 @@ def test_default_adaptive_path_many_shards(spark, tiny_pdf, tiny_oracle,
         assert_rank_identical(collect_topk(res, qid),
                               tiny_oracle.topk(qtext, k), f"bypass q{qid}")
     res.unpersist()
+
+    # bypass decay triggers: the re-probe fires on batch count, on wall
+    # time, and on any on-disk manifest change (append/compact bump) —
+    # ten bypassed batches can be ten seconds or ten hours, and a grown
+    # corpus may have become prunable
+    import time as _time
+
+    from pdx_spark.operators.searcher import (_BYPASS_REPROBE,
+                                              _BYPASS_REPROBE_SECS)
+    assert s._bypassed > 0 and not s._bypass_expired()  # steady bypass
+    s._bypassed = _BYPASS_REPROBE
+    assert s._bypass_expired()                           # count trigger
+    s._bypassed = 1
+    s._bypass_started = _time.monotonic() - _BYPASS_REPROBE_SECS - 1
+    assert s._bypass_expired()                           # time trigger
+    s._bypass_started = _time.monotonic()
+    from pdx_spark.fs import IndexFS
+    man_path = IndexFS.join(path, "manifest.json")
+    s.fs.write_text_atomic(man_path, s.fs.read_text(man_path) + "\n")
+    assert s._bypass_expired()                           # manifest trigger
+    assert not s._bypass_expired()  # fp re-armed after observing change
