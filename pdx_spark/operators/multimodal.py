@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode step is dependency-gated: `decode_image(real=True)` uses
-Pillow when it is importable (raising a clear error otherwise — this
-container ships no image libs), `decode_audio(real=True)` decodes WAV
-via the stdlib `wave` module (always available). The default codec
-remains a deterministic fake (md5-derived bytes -> fixed-size float
-features) so the Spark-side plumbing — schema, batch shape, partition
-sizing, UDF signatures — is testable and oracle-checkable everywhere.
+The real decode paths run with zero external deps:
+`decode_image(real=True)` decodes PNG via the vendored pure-stdlib
+reader (pdx_spark.functions.png) and falls back to Pillow for other
+formats when importable (clear NotImplementedError otherwise);
+`decode_audio(real=True)` decodes WAV via the stdlib `wave` module.
+The default codec remains a deterministic fake (md5-derived bytes ->
+fixed-size float features) so the Spark-side plumbing — schema, batch
+shape, partition sizing, UDF signatures — is oracle-checkable in ANSI
+SQL everywhere.
 """
 
 from __future__ import annotations
@@ -63,9 +65,13 @@ def _have_pil() -> bool:
 
 
 def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
-    """real=True: Pillow decode (grayscale, resized to a 4x4 thumbnail ->
-    FEATURE_DIM floats in [0,1]) when Pillow is importable; a clear
-    NotImplementedError otherwise (this container ships no image libs).
+    """real=True: REAL decode — grayscale 4x4 thumbnail -> FEATURE_DIM
+    floats in [0,1]. PNG payloads go through the vendored pure-stdlib
+    reader (pdx_spark.functions.png: zlib scanlines + the five PNG
+    filters, ITU-601 luminance, box resample) so the real path runs with
+    zero external deps and is backend-independent; non-PNG formats fall
+    back to Pillow when importable, else raise a clear
+    NotImplementedError.
 
     Default (real=False): deterministic fake — md5-chained over the
     LOWERCASE-HEX encoding of the payload -> FEATURE_DIM floats in
@@ -75,10 +81,17 @@ def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
     uint16 / 2^16 is exact in float32, so Spark and SQL produce
     bit-equal doubles."""
     if real:
+        from pdx_spark.functions import png as _png
+        if _png.is_png(payload):
+            lum = _png.to_luminance(_png.read_png(payload))
+            return (_png.box_resize(lum, 4, 4).reshape(-1)
+                    .astype(np.float32) / 255.0)[:FEATURE_DIM]
         if not _have_pil():
             raise NotImplementedError(
-                "image decode requires Pillow (pip install Pillow); "
-                "the deterministic stub (real=False) works everywhere")
+                "non-PNG image decode requires Pillow (pip install "
+                "Pillow); PNG decodes everywhere via the vendored "
+                "reader, and the deterministic stub (real=False) works "
+                "for any payload")
         import io
 
         from PIL import Image
