@@ -116,6 +116,25 @@ def _in_list(col: str, values) -> "F.Column":
     return F.expr(f"{col} IN ({esc})")
 
 
+def _shard_ranges(shards) -> list[list[int]]:
+    """Sorted shard ids compressed into contiguous [lo, hi] runs."""
+    runs: list[list[int]] = []
+    for sh in sorted(int(x) for x in shards):
+        if runs and sh == runs[-1][1] + 1:
+            runs[-1][1] = sh
+        else:
+            runs.append([sh, sh])
+    return runs
+
+
+def _shard_sql(runs: list[list[int]]) -> str:
+    if not runs:
+        return "false"
+    return "(" + " OR ".join(
+        f"shard = {a}" if a == b else f"shard BETWEEN {a} AND {b}"
+        for a, b in runs) + ")"
+
+
 def _shard_filter(shards) -> "F.Column":
     """Predicate selecting a shard set, compressed into contiguous
     BETWEEN-ranges. Two reasons over a plain isin: (1) Spark only pushes
@@ -126,19 +145,10 @@ def _shard_filter(shards) -> "F.Column":
     range-partitioned encode), so pushed ranges skip whole files via
     row-group stats. (2) at 10^12-doc scale a routing's shard list can
     be 10^5 ids — a handful of BETWEEN runs is a constant-size plan.
-    """
-    runs = []
-    for sh in sorted(int(x) for x in shards):
-        if runs and sh == runs[-1][1] + 1:
-            runs[-1][1] = sh
-        else:
-            runs.append([sh, sh])
-    cond = None
-    for a, b in runs:
-        c = (F.col("shard") == a) if a == b \
-            else F.col("shard").between(a, b)
-        cond = c if cond is None else cond | c
-    return cond if cond is not None else F.lit(False)
+    Built as ONE SQL string -> one py4j round trip (Column-composition
+    is one driver round trip per operator — measured seconds per batch
+    at a few hundred disjuncts)."""
+    return F.expr(_shard_sql(_shard_ranges(shards)))
 
 
 # disjunct budget for the per-term row filter; above this the plan falls
@@ -158,23 +168,30 @@ def _term_shard_filter(term_shards: dict[str, set],
     rows shipped to python shrink from |union| x |terms| to
     Σ_t |shards_t| — and it composes with row-group pruning (term and
     shard stats both evaluated per file). Returns None when the
-    disjunct budget is exceeded (fall back to the union filter)."""
-    total_runs, parts = 0, []
+    disjunct budget is exceeded (fall back to the union filter).
+
+    Implementation: the run budget is counted BEFORE any expression is
+    built (pure python), and the predicate is ONE SQL string parsed by
+    one F.expr call. The original Column-composition paid ~4 py4j
+    driver round trips per term and, worse, paid them even on batches
+    that would bail to None — ~3s of untimed driver-serial latency per
+    200-query forced-two-phase batch (the round-4 bench regression)."""
+    per_term: list[tuple[str, list[list[int]]]] = []
+    total_runs = 0
     for t, shards in term_shards.items():
-        runs = 1
-        prev = None
-        for sh in sorted(shards):
-            if prev is not None and sh != prev + 1:
-                runs += 1
-            prev = sh
-        total_runs += runs
+        runs = _shard_ranges(shards)
+        total_runs += len(runs)
         if total_runs > _TERM_FILTER_MAX_RUNS:
             return None
-        parts.append((F.col("term") == t) & _shard_filter(shards))
-    cond = None
-    for c in parts:
-        cond = c if cond is None else cond | c
-    return cond if cond is not None else F.lit(False)
+        per_term.append((t, runs))
+    if not per_term:
+        return F.lit(False)
+    parts = []
+    for t, runs in per_term:
+        # tokens are [a-z0-9]+ runs (tokenize.py) — assert, don't trust
+        assert t.isascii() and t.isalnum(), t
+        parts.append(f"(term = '{t}' AND {_shard_sql(runs)})")
+    return F.expr("(" + " OR ".join(parts) + ")")
 
 
 def _shard_scorer(payload: dict, has_aux: bool):
