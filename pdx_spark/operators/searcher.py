@@ -214,6 +214,9 @@ def _shard_scorer(payload: dict, has_aux: bool):
     width = payload["docs_per_shard"]
     assigned = payload["assigned"]
     has_mask = payload["has_mask"]
+    # closure-carried small mask ({mode, ids sorted, p}) — the scan-fused
+    # selection vector; aux mask rows take precedence when both exist
+    cmask = payload.get("mask")
     # predicate_mode: None (no predicate), "allow" (mask rows are the
     # passing docs, low selectivity) or "deny" (mask rows are the failing
     # docs, high selectivity) — the F3 selectivity-adaptive branch.
@@ -243,6 +246,12 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 mask_p = aux_pdf["p"].to_numpy()[msel]
         if assigned and not assigned_ids:
             return empty_out  # no query routed to this shard
+        if has_mask and mask_ids is None and cmask is not None:
+            # slice this shard's window out of the sorted closure mask
+            lo = np.searchsorted(cmask["ids"], base)
+            hi = np.searchsorted(cmask["ids"], base + width)
+            mask_ids = cmask["ids"][lo:hi]
+            mask_p = cmask["p"][lo:hi]
 
         # doc-level allow/block mask for this shard (selection-vector analog)
         allow = None
@@ -553,6 +562,7 @@ class Searcher:
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self._sel_sample = None  # cached docs sample for selectivity est.
+        self._last_sel_frac: float | None = None  # last predicate pass-rate
         self._idf_cache: dict[str, float] = {}  # term -> idf (load-time N)
         # warm two-phase planning: the deduplicated, dequantized directory
         # frame persists on first use so later batches plan from executor
@@ -786,6 +796,15 @@ class Searcher:
 
         seg = self.segments().filter(_in_list("term", all_terms))
         mask_df, pred_mode = self._mask_df(predicate)
+        closure_mask = None
+        if mask_df is not None and self._map_scan_ok:
+            closure_mask = self._collect_small_mask(mask_df, pred_mode)
+            if closure_mask is not None:
+                # small mask rides the scorer closure: every branch below
+                # keeps the shuffle-free map scan + driver planning, the
+                # plans a filtered batch used to forfeit (cogroup +
+                # groupBy-shuffle of the term-filtered segment rows)
+                mask_df = None
 
         n_shards_total = -(-self.n_docs // self.cfg.docs_per_shard)
         # exhaustive when pruning cannot pay: too few shards for skipping
@@ -818,10 +837,11 @@ class Searcher:
             self.last_plan = {"mode": "exhaustive",
                               "n_shards": n_shards_total,
                               "big_batch": big_batch,
-                              "unrouted_bypass": bypass}
+                              "unrouted_bypass": bypass,
+                              "mask_in_closure": closure_mask is not None}
             qspec = [(q, ts, k, None) for q, ts, k in live]
             if mask_df is None:
-                res = self._map_scan(seg, qspec, idf)
+                res = self._map_scan(seg, qspec, idf, mask=closure_mask)
             else:
                 res = self._scan(seg, qspec, idf, mask_df, pred_mode)
             return self._global_topk(res, live)
@@ -921,7 +941,8 @@ class Searcher:
         qspec0 = [(q, ts, k, None) for q, ts, k in live]
         if mask_df is None:
             seed_res = self._map_scan(seed_seg, qspec0, idf,
-                                      routing=seed_routing)
+                                      routing=seed_routing,
+                                      mask=closure_mask)
         else:
             seed_asg = self.spark.createDataFrame(
                 sorted(seed_set), "query_id int, shard long")
@@ -1001,11 +1022,13 @@ class Searcher:
             # and the seed work is reused, not discarded.
             self.last_plan = {"mode": "unrouted", "n_main": n_main,
                               "n_shards": n_shards_total,
-                              "n_queries": len(live)}
+                              "n_queries": len(live),
+                              "mask_in_closure": closure_mask is not None}
             self._unrouted_streak += 1
             self._unrouted_min_live = min(
                 self._unrouted_min_live or (1 << 30), len(live))
-            res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing)
+            res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing,
+                                 mask=closure_mask)
             out = self._global_topk(seed_df.unionByName(res), live)
         elif mask_df is None and n_main <= _ROUTING_CAP:
             routing: dict[int, set] = {}
@@ -1015,7 +1038,8 @@ class Searcher:
             self.last_plan = {"mode": "routed", "n_main": n_main,
                               "n_main_shards": len(routing),
                               "n_shards": n_shards_total,
-                              "n_queries": len(live)}
+                              "n_queries": len(live),
+                              "mask_in_closure": closure_mask is not None}
             self._unrouted_streak = 0
             self._unrouted_min_live = None
             if routing:
@@ -1030,7 +1054,8 @@ class Searcher:
                 main_seg = seg.filter(tf_expr) if tf_expr is not None \
                     else seg.filter(_shard_filter(routing))
                 main_res = self._map_scan(main_seg, qspec1, idf,
-                                          routing=routing)
+                                          routing=routing,
+                                          mask=closure_mask)
                 out = self._global_topk(seed_df.unionByName(main_res), live)
             else:
                 # every surviving pair was a seed pair: the collected
@@ -1183,7 +1208,37 @@ class Searcher:
             self._sel_sample = (s, s.count())
         sample, n = self._sel_sample
         n_pass = sample.filter(F.expr(predicate)).count()
+        self._last_sel_frac = n_pass / max(n, 1)
         return "deny" if n_pass >= SELECTIVITY_THRESHOLD * max(n, 1) else "allow"
+
+    def _collect_small_mask(self, mask_df: DataFrame,
+                            pred_mode: str | None) -> dict | None:
+        """Small masks ride the scorer CLOSURE instead of the cogroup
+        channel: the reference fuses selection vectors into the scan
+        (searcher.hpp:284-372) rather than running a separate routing
+        pass, and a selective predicate or a short tombstone list is
+        exactly that case — forcing it through cogroup forfeits the
+        shuffle-free map-scan and the driver-side planner. Returns
+        {mode, ids sorted int64[], p int8[]} when the mask has at most
+        _ROUTING_CAP rows, else None (cogroup carries it). The sample-
+        based selectivity estimate skips the bounded peek when the mask
+        is obviously huge, so unselective predicates pay nothing new."""
+        est = None
+        if pred_mode is not None and self._last_sel_frac is not None:
+            frac = self._last_sel_frac if pred_mode == "allow" \
+                else 1.0 - self._last_sel_frac
+            est = frac * self.n_docs + self.manifest.get("tombstones", 0)
+        elif pred_mode is None:
+            est = self.manifest.get("tombstones", 0)
+        if est is not None and est > 2 * _ROUTING_CAP:
+            return None
+        pdf = mask_df.select("id", "p").limit(_ROUTING_CAP + 1).toPandas()
+        if len(pdf) > _ROUTING_CAP:
+            return None
+        ids = pdf["id"].to_numpy(np.int64)
+        p = pdf["p"].to_numpy(np.int8)
+        order = np.argsort(ids, kind="stable")
+        return {"mode": pred_mode, "ids": ids[order], "p": p[order]}
 
     def _mask_df(self, predicate: str | None):
         """-> (aux-format (shard, kind=0, id, p) rows | None, mode).
@@ -1239,15 +1294,20 @@ class Searcher:
 
     def _map_scan(self, seg: DataFrame, qspec, idf: dict[str, float],
                   routing: dict[int, set] | None = None,
-                  anti_routing: dict[int, set] | None = None) -> DataFrame:
+                  anti_routing: dict[int, set] | None = None,
+                  mask: dict | None = None) -> DataFrame:
         """Shuffle-free scan: the scorer runs as mapInPandas directly on
         the parquet scan partitions (see _partition_scorer for why this
-        is exact). Used whenever there is no predicate/tombstone mask —
-        the mask rows can be arbitrarily large and ride the cogroup
-        channel instead. Exactness requires the one-row-group-per-file
-        invariant (_verify_scan_granularity); when it is unproven, the
-        scan degrades to the always-exact cogroup channel."""
+        is exact). A SMALL predicate/tombstone mask rides the scorer
+        closure (`mask`, from _collect_small_mask) — the scan-fused
+        selection vector; large masks go through the cogroup channel
+        instead (search_batch keeps mask_df non-None in that case).
+        Exactness requires the one-row-group-per-file invariant
+        (_verify_scan_granularity); when it is unproven, the scan
+        degrades to the always-exact cogroup channel (closure masks are
+        never adopted in that state — see search_batch's gate)."""
         if not self._map_scan_ok:
+            assert mask is None, "closure mask requires the map scan"
             asg_df = None
             if routing is not None:
                 asg_df = self.spark.createDataFrame(
@@ -1271,8 +1331,9 @@ class Searcher:
                    "avgdl": self.avgdl, "k1": self.params.k1,
                    "b": self.params.b,
                    "docs_per_shard": self.cfg.docs_per_shard,
-                   "predicate_mode": None,
-                   "assigned": False, "has_mask": False,
+                   "predicate_mode": None if mask is None else mask["mode"],
+                   "assigned": False, "has_mask": mask is not None,
+                   "mask": mask,
                    "routing": routing, "anti_routing": anti_routing}
         fn = _partition_scorer(payload)
         if routing is not None:

@@ -65,3 +65,46 @@ def test_filtered_pruned_equals_filtered_exact(searcher):
     b = searcher.search_batch(QUERIES, predicate=pred, exact=True).collect()
     key = lambda r: (r["query_id"], r["doc_id"], round(r["score"], 9))
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_small_mask_rides_map_scan(searcher, tiny_oracle, doc_meta):
+    """A small predicate mask ships in the scorer closure (scan-fused
+    selection vector, reference searcher.hpp:284-372) so the filtered
+    batch keeps the shuffle-free map scan — and the answers stay
+    rank-identical to the cogroup channel's (forced by disabling the
+    closure adoption via the map-scan gate)."""
+    pred = "role = 'assistant'"
+    allowed = _allowed(doc_meta, lambda role, tool, ts: role == "assistant")
+    res = searcher.search_batch(QUERIES, predicate=pred).persist()
+    assert searcher.last_plan.get("mask_in_closure") is True, \
+        searcher.last_plan
+    assert searcher.last_plan["mode"] in ("exhaustive", "routed", "unrouted")
+    for qid, qtext, k in QUERIES:
+        want = tiny_oracle.topk(qtext, k, allowed=allowed)
+        assert_rank_identical(collect_topk(res, qid), want, f"closure q{qid}")
+    res.unpersist()
+    # cogroup twin: forbid the map scan, same rows
+    s2 = Searcher.load(searcher.spark, searcher.path)
+    s2._map_scan_ok = False
+    a = s2.search_batch(QUERIES, predicate=pred).collect()
+    assert s2.last_plan.get("mask_in_closure") in (None, False)
+    b = searcher.search_batch(QUERIES, predicate=pred).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], round(r["score"], 9))
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_huge_mask_estimate_skips_closure(searcher):
+    """An unselective deny-mode predicate whose estimated mask exceeds
+    the cap must keep the cogroup channel (no bounded peek adopted)."""
+    import numpy as np
+
+    from pdx_spark.operators import searcher as S
+    old_cap = S._ROUTING_CAP
+    S._ROUTING_CAP = 2  # force "mask too big" at fixture scale
+    try:
+        res = searcher.search_batch(QUERIES, predicate="role = 'assistant'")
+        n = res.count()
+        assert searcher.last_plan.get("mask_in_closure") in (None, False)
+        assert n > 0
+    finally:
+        S._ROUTING_CAP = old_cap

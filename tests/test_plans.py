@@ -128,16 +128,29 @@ def test_search_batch_is_lazy_and_directory_cache_warms(spark, tiny_index):
     assert jobs() - n1 <= 2, "planning launched extra Spark jobs"
     r2.collect()
 
-    # masked batches take the distributed plan: the dequantized
-    # directory frame persists and is reused across batches
+    # a SMALL mask no longer forfeits driver planning: it rides the
+    # scorer closure and the batch keeps the pyarrow plan + map scan
     s.search_batch([(0, "w2500", 5)], predicate="role = 'user'",
                    force_two_phase=True, two_phase_min_shards=2).collect()
-    assert s.last_plan["driver_planned"] is False
-    d1 = s._dir_df
-    assert d1 is not None and d1.is_cached
-    s.search_batch([(1, "w2600", 5)], predicate="role = 'user'",
-                   force_two_phase=True, two_phase_min_shards=2).collect()
-    assert s._dir_df is d1, "directory cache was rebuilt"
+    assert s.last_plan["driver_planned"] is True
+    assert s.last_plan.get("mask_in_closure") is True
+
+    # a mask ABOVE the closure cap takes the distributed plan: the
+    # dequantized directory frame persists and is reused across batches
+    import pdx_spark.operators.searcher as S
+    old_cap = S._ROUTING_CAP
+    S._ROUTING_CAP = 2
+    try:
+        s.search_batch([(0, "w2500", 5)], predicate="role = 'user'",
+                       force_two_phase=True, two_phase_min_shards=2).collect()
+        assert s.last_plan["driver_planned"] is False
+        d1 = s._dir_df
+        assert d1 is not None and d1.is_cached
+        s.search_batch([(1, "w2600", 5)], predicate="role = 'user'",
+                       force_two_phase=True, two_phase_min_shards=2).collect()
+        assert s._dir_df is d1, "directory cache was rebuilt"
+    finally:
+        S._ROUTING_CAP = old_cap
 
 
 def test_two_phase_pruning_wins_on_topic_clustered_corpus(spark, tmp_path):
