@@ -99,7 +99,19 @@ def get_spark(cores: int | None = None, app: str = "pdx_spark",
         # and these two knobs TOGETHER (SCALE.md "Scan granularity").
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.files.openCostInBytes", "8388608")
-        .config("spark.ui.enabled", "false")
+        # zstd on both shuffle blocks and parquet: the build is
+        # disk-bound (BENCH.md "Build leg"), and at 4N executors the
+        # shared disk is the contended resource — trading idle CPU for
+        # fewer bytes moves the N->4N efficiency, not just wall time.
+        # Measured by tools/build_bytes_probe.py (BENCH.md r5 notes):
+        # shuffle bytes and segment parquet both shrink vs lz4/snappy.
+        .config("spark.io.compression.codec",
+                os.environ.get("PDX_IO_CODEC", "zstd"))
+        .config("spark.io.compression.zstd.level", "1")
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("PDX_PARQUET_CODEC", "zstd"))
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("PDX_SPARK_UI") else "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     spark = builder.getOrCreate()
