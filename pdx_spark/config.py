@@ -99,17 +99,22 @@ def get_spark(cores: int | None = None, app: str = "pdx_spark",
         # and these two knobs TOGETHER (SCALE.md "Scan granularity").
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.files.openCostInBytes", "8388608")
-        # zstd on both shuffle blocks and parquet: the build is
-        # disk-bound (BENCH.md "Build leg"), and at 4N executors the
-        # shared disk is the contended resource — trading idle CPU for
-        # fewer bytes moves the N->4N efficiency, not just wall time.
-        # Measured by tools/build_bytes_probe.py (BENCH.md r5 notes):
-        # shuffle bytes and segment parquet both shrink vs lz4/snappy.
+        # zstd on shuffle blocks ONLY: the build is disk-bound (BENCH.md
+        # "Build leg"), and at 4N executors the shared disk is the
+        # contended resource — the shuffle is its biggest client (bytes
+        # hit disk on write AND read). Measured by
+        # tools/build_bytes_probe.py at 32 cores (BENCH.md r5 notes):
+        # shuffle 478 -> 251 MB at flat wall/CPU. Parquet stays snappy:
+        # zstd there saves only ~15% of a far smaller artifact, slows
+        # the query-time pyarrow map-scan decode, and (measured, twice)
+        # zstd-on-BOTH regressed the 32-core build 23 -> 32-39s where
+        # either alone was flat — the two zstd users contend somewhere
+        # below the JVM; don't stack them.
         .config("spark.io.compression.codec",
                 os.environ.get("PDX_IO_CODEC", "zstd"))
         .config("spark.io.compression.zstd.level", "1")
         .config("spark.sql.parquet.compression.codec",
-                os.environ.get("PDX_PARQUET_CODEC", "zstd"))
+                os.environ.get("PDX_PARQUET_CODEC", "snappy"))
         .config("spark.ui.enabled",
                 "true" if os.environ.get("PDX_SPARK_UI") else "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
