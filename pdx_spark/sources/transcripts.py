@@ -10,8 +10,14 @@ transcripts with columns (conv_id, turn_idx, role, text, tool, ts)).
       one snapshot id and is reproducible), hidden-partition pruning,
       and incremental scans (appends-between-snapshots feed
       Maintainer.append). The sandbox container ships no Iceberg
-      runtime jars, so this branch raises a clear error here and is
-      exercised in production deployments only.
+      runtime jar (and no network to fetch one), so against a bare
+      session this branch raises a clear error. The branch itself IS
+      executed in tests against a Python DSv2 stand-in registered
+      under the same "iceberg" short name implementing the same
+      reader options (tests/test_iceberg_standin.py: snapshot-pinned
+      read -> build -> incremental scan -> append, end to end); with
+      the real runtime jar on the classpath (README "Iceberg" recipe)
+      the identical code runs against a real catalog.
   "table:<name>"                -> spark.table (any catalog-registered
       source: Iceberg, Delta, Hive — whatever the session catalog has).
   anything else                 -> parquet path(s) with the declared

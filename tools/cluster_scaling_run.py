@@ -111,6 +111,14 @@ def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
         # the straggler bin costs the high leg a whole extra wave
         "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--conf", "spark.sql.files.openCostInBytes=8388608",
+        # mirror pdx_spark.config.get_spark: zstd shuffle blocks halve
+        # the build's traffic through the one shared disk (parquet stays
+        # snappy — zstd-on-both measured a regression; config.py note)
+        "--conf", "spark.io.compression.codec="
+                  + os.environ.get("PDX_IO_CODEC", "zstd"),
+        "--conf", "spark.io.compression.zstd.level=1",
+        "--conf", "spark.sql.parquet.compression.codec="
+                  + os.environ.get("PDX_PARQUET_CODEC", "snappy"),
         "--conf", f"spark.ui.enabled={'true' if probe else 'false'}",
         "--py-files", zip_path,
         os.path.join(ROOT, "tools", "submit_job.py"),
@@ -143,6 +151,9 @@ def run_leg(workers: int, cores_per_worker: int, mem_gb: int,
             # evidence is reproducible from the artifact alone
             out["encode_files_per_core"] = int(
                 env["PDX_ENCODE_FILES_PER_CORE"])
+            out["io_codec"] = os.environ.get("PDX_IO_CODEC", "zstd")
+            out["parquet_codec"] = os.environ.get(
+                "PDX_PARQUET_CODEC", "snappy")
             return out
     raise RuntimeError(
         f"leg w={workers} produced no result; rc={proc.returncode}\n"
