@@ -279,25 +279,15 @@ class Indexer:
             avgdl = sum_dl / n_docs if n_docs else 0.0
             timings["corpus_stats"] = round(time.time() - tt, 2)
 
-            tt = time.time()
-            # persist before the global sort: range-sort runs a sampling
-            # pass first, which would otherwise re-run the whole Arrow
-            # partial-agg over the corpus a second time (measured: the
-            # term_stats stage barely scaled with cores because both
-            # passes paid the full scan)
-            ts = C.term_stats_from_doc_postings(
-                dp.select("doc_id", "dl", "terms", "tfs"),
-                avgdl, self.params).persist()
-            ts.sort("term").write.mode("overwrite").parquet(
-                self._p(path, "term_stats"))
-            ts.unpersist()
-            timings["term_stats"] = round(time.time() - tt, 2)
             self._posts_cache = dp
 
             # next_doc_id: the id-allocation high-water mark appends read
             # instead of scanning every docs dir for max(doc_id)
+            # (ts_done: term_stats now writes inside stage B, overlapped
+            # with the encode — see below)
             manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl,
-                            sum_dl=sum_dl, next_doc_id=n_docs)
+                            sum_dl=sum_dl, next_doc_id=n_docs,
+                            ts_done=False)
             manifest["lineage"].append(
                 {"stage": "docs+stats", "rows": n_docs,
                  "sec": round(time.time() - t0, 2), "timings": timings})
@@ -317,6 +307,49 @@ class Indexer:
                     posts = C.doc_postings(C.assign_doc_ids(transcripts)).persist()
             posts = (posts.select("doc_id", "dl", "terms", "tfs")
                      .withColumn("shard", self.cfg.shard_of_expr()))
+
+            # term_stats OVERLAPS the encode: both are independent
+            # actions over the same cached/parquet postings frame, and
+            # each has low-parallelism phases (term_stats' final sorted
+            # write, the encode's shuffle-read tail) that leave cores
+            # idle — a second concurrent job fills them (FIFO scheduler
+            # grants free slots to the later job). Crash-safe: atomic
+            # tmp -> rename, ts_done recorded only after both finish; a
+            # crash in between re-runs term_stats on resume (wasted
+            # work, same artifact). Threaded actions on one
+            # SparkSession are supported; the manifest is only ever
+            # touched from this (main) thread.
+            ts_needed = not manifest.get(
+                "ts_done", fs.exists(self._p(path, "term_stats")))
+            ts_err: list = []
+            ts_timing: dict = {}
+
+            def _write_term_stats():
+                try:
+                    tt = time.time()
+                    # persist before the global sort: range-sort runs a
+                    # sampling pass first, which would otherwise re-run
+                    # the whole Arrow partial-agg a second time
+                    ts = C.term_stats_from_doc_postings(
+                        posts.select("doc_id", "dl", "terms", "tfs"),
+                        avgdl, self.params).persist()
+                    tmp_ts = self._p(path, "term_stats") + ".tmp"
+                    ts.sort("term").write.mode("overwrite").parquet(tmp_ts)
+                    ts.unpersist()
+                    if fs.exists(self._p(path, "term_stats")):
+                        fs.delete(self._p(path, "term_stats"))
+                    fs.rename(tmp_ts, self._p(path, "term_stats"))
+                    ts_timing["term_stats"] = round(time.time() - tt, 2)
+                except BaseException as e:  # surface in the main thread
+                    ts_err.append(e)
+
+            ts_thread = None
+            if ts_needed:
+                import threading
+                ts_thread = threading.Thread(target=_write_term_stats,
+                                             name="pdx-term-stats")
+                ts_thread.start()
+
             enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
             # encode at ~4 partitions per core: segment files come out
             # small enough that (a) the query-time map-scan gets several
@@ -355,6 +388,13 @@ class Indexer:
                     "status": "done", **_chunk_stats(self.spark, fs, final),
                     "sec": round(time.time() - tc, 2)}
                 _write_manifest(path, manifest, fs=fs)
+            if ts_thread is not None:
+                ts_thread.join()
+                if ts_err:
+                    raise ts_err[0]
+                manifest["lineage"].append(
+                    {"stage": "term_stats", "timings": dict(ts_timing)})
+            manifest["ts_done"] = True
             manifest["segment_dirs"] = ["segments/base"]
             # writer-side proof of the map-scan invariant (footer-only
             # walk); readers trust this flag instead of re-walking

@@ -118,6 +118,10 @@ def test_resume_equals_fresh(spark, tmp_path, corpus_pdfs):
     import json, os
     m = read_manifest(broken)
     m["stage"] = "segments"
+    # also simulate dying before the (stage-B-overlapped) term_stats
+    # write landed: resume must rewrite the artifact
+    m["ts_done"] = False
+    shutil.rmtree(os.path.join(broken, "term_stats"))
     for c in ["1", "2"]:
         m["chunks"].pop(c, None)
         shutil.rmtree(os.path.join(broken, "segments", "base", f"chunk-{c}"))
