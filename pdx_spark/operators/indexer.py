@@ -308,48 +308,6 @@ class Indexer:
             posts = (posts.select("doc_id", "dl", "terms", "tfs")
                      .withColumn("shard", self.cfg.shard_of_expr()))
 
-            # term_stats OVERLAPS the encode: both are independent
-            # actions over the same cached/parquet postings frame, and
-            # each has low-parallelism phases (term_stats' final sorted
-            # write, the encode's shuffle-read tail) that leave cores
-            # idle — a second concurrent job fills them (FIFO scheduler
-            # grants free slots to the later job). Crash-safe: atomic
-            # tmp -> rename, ts_done recorded only after both finish; a
-            # crash in between re-runs term_stats on resume (wasted
-            # work, same artifact). Threaded actions on one
-            # SparkSession are supported; the manifest is only ever
-            # touched from this (main) thread.
-            ts_needed = not manifest.get(
-                "ts_done", fs.exists(self._p(path, "term_stats")))
-            ts_err: list = []
-            ts_timing: dict = {}
-
-            def _write_term_stats():
-                try:
-                    tt = time.time()
-                    # persist before the global sort: range-sort runs a
-                    # sampling pass first, which would otherwise re-run
-                    # the whole Arrow partial-agg a second time
-                    ts = C.term_stats_from_doc_postings(
-                        posts.select("doc_id", "dl", "terms", "tfs"),
-                        avgdl, self.params).persist()
-                    tmp_ts = self._p(path, "term_stats") + ".tmp"
-                    ts.sort("term").write.mode("overwrite").parquet(tmp_ts)
-                    ts.unpersist()
-                    if fs.exists(self._p(path, "term_stats")):
-                        fs.delete(self._p(path, "term_stats"))
-                    fs.rename(tmp_ts, self._p(path, "term_stats"))
-                    ts_timing["term_stats"] = round(time.time() - tt, 2)
-                except BaseException as e:  # surface in the main thread
-                    ts_err.append(e)
-
-            ts_thread = None
-            if ts_needed:
-                import threading
-                ts_thread = threading.Thread(target=_write_term_stats,
-                                             name="pdx-term-stats")
-                ts_thread.start()
-
             enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
             # encode at ~4 partitions per core: segment files come out
             # small enough that (a) the query-time map-scan gets several
@@ -361,6 +319,27 @@ class Indexer:
                            int(self.spark.conf.get(
                                "spark.sql.shuffle.partitions", "8")))
             n_chunks = manifest["n_chunks"]
+            # dense doc_ids make shard sizes ANALYTIC (docs_per_shard
+            # docs each), so file-group boundaries need no sampling:
+            # fgroup = shard // spg gives n_encode equal-width,
+            # contiguous shard ranges. A hash repartition on fgroup
+            # replaces repartitionByRange(shard), whose range-boundary
+            # sampling was a second FULL scan of the postings frame
+            # (measured: the encode's input bytes were exactly 2x the
+            # cached frame — the sampling pass re-read all 4 GB at
+            # xbench). HashPartitioning(fgroup) still satisfies the
+            # groupBy(fgroup, shard) clustering (subset rule — no second
+            # shuffle), and write.partitionBy(fgroup) keeps the property
+            # the range partition existed for: every output FILE holds a
+            # contiguous shard range, so query-time shard routing
+            # (`shard IN (...)`) skips whole files via row-group stats —
+            # the physical substrate of the two-phase pruning win
+            # (reference: clusters ARE the I/O granularity,
+            # ivf_wrapper.hpp:15-38). Boundaries are now deterministic
+            # (no sampling), so the layout is reproducible run-to-run.
+            n_shards = max(1, -(-n_docs // self.cfg.docs_per_shard))
+            spg = max(1, -(-n_shards // n_encode))
+            fgroup = (F.col("shard") / spg).cast("long")
             for chunk in range(n_chunks):
                 key = str(chunk)
                 if manifest["chunks"].get(key, {}).get("status") == "done":
@@ -368,33 +347,22 @@ class Indexer:
                 tc = time.time()
                 part = posts.filter(F.col("shard") % n_chunks == chunk) \
                     if n_chunks > 1 else posts
-                # RANGE partition by shard (satisfies the groupBy's
-                # clustering — no second shuffle): each output file then
-                # holds a CONTIGUOUS shard range, so query-time shard
-                # routing (`shard IN (...)`) skips whole files via
-                # row-group stats — the physical substrate of the
-                # two-phase pruning win (reference: clusters ARE the I/O
-                # granularity, ivf_wrapper.hpp:15-38)
-                seg = (part.repartitionByRange(n_encode, "shard")
-                       .groupBy("shard")
+                seg = (part.withColumn("fgroup", fgroup)
+                       .repartition(n_encode, "fgroup")
+                       .groupBy("fgroup", "shard")
                        .applyInPandas(enc, schema=schemas.SEGMENTS))
                 final = self._p(path, "segments", "base", f"chunk-{chunk}")
                 tmp = final + ".tmp"
-                seg.sortWithinPartitions("term", "shard", "block_id") \
-                   .write.option("parquet.block.size", PARQUET_BLOCK_SIZE) \
-                   .mode("overwrite").parquet(tmp)
+                (seg.withColumn("fgroup", fgroup)
+                    .sortWithinPartitions("term", "shard", "block_id")
+                    .write.option("parquet.block.size", PARQUET_BLOCK_SIZE)
+                    .partitionBy("fgroup")
+                    .mode("overwrite").parquet(tmp))
                 fs.rename(tmp, final)
                 manifest["chunks"][key] = {
                     "status": "done", **_chunk_stats(self.spark, fs, final),
                     "sec": round(time.time() - tc, 2)}
                 _write_manifest(path, manifest, fs=fs)
-            if ts_thread is not None:
-                ts_thread.join()
-                if ts_err:
-                    raise ts_err[0]
-                manifest["lineage"].append(
-                    {"stage": "term_stats", "timings": dict(ts_timing)})
-            manifest["ts_done"] = True
             manifest["segment_dirs"] = ["segments/base"]
             # writer-side proof of the map-scan invariant (footer-only
             # walk); readers trust this flag instead of re-walking
@@ -407,14 +375,53 @@ class Indexer:
             manifest["stage"] = "directory"
             _write_manifest(path, manifest, fs=fs)
 
-        # ---- stage C: directory (2-level routing, L0 analog; u8-
-        # quantized bound metadata — the SQ8 half, scalar.hpp:60-106) ----
+        # ---- stage C: term_stats + directory (2-level routing, L0
+        # analog; u8-quantized bound metadata — the SQ8 half,
+        # scalar.hpp:60-106). Both artifacts derive EXACTLY from the
+        # written segment block rows (df = sum of block posting counts,
+        # term max_tf/gmax = max over block max_tf/gmax — same doubles
+        # the encoder computed at the same avgdl), so one scan of the
+        # compact segment output replaces what used to be a second full
+        # pass over the fat postings frame (term_stats was measured
+        # re-reading all 4 GB of cached postings at xbench; the segment
+        # blocks are ~0.6 GB). Shared per-(term, shard) partial agg
+        # feeds both; crash between segments and here re-runs this
+        # stage from the durable segments (ts_done gates the rewrite). ----
         if manifest["stage"] == "directory":
             td = time.time()
             seg = (self.spark.read.schema(schemas.SEGMENTS)
                    .option("recursiveFileLookup", "true")
                    .parquet(self._p(path, "segments", "base")))
-            params = write_directory(seg, self._p(path, "directory"), fs)
+            base = (seg.groupBy("term", "shard")
+                    .agg(F.count("*").cast("int").alias("n_blocks"),
+                         F.sum("n").cast("long").alias("n_postings"),
+                         F.max("max_tf").cast("int").alias("max_tf"),
+                         F.min("min_dl").cast("int").alias("min_dl"),
+                         F.max("gmax").alias("gmax"))
+                    .persist())
+            ts_timing: dict = {}
+            if not manifest.get("ts_done") \
+                    or not fs.exists(self._p(path, "term_stats")):
+                tt = time.time()
+                ts = (base.groupBy("term")
+                      .agg(F.sum("n_postings").cast("long").alias("df"),
+                           F.max("max_tf").cast("int").alias("max_tf"),
+                           F.max("gmax").alias("gmax"))
+                      .select("term", "df", "max_tf", "gmax"))
+                tmp_ts = self._p(path, "term_stats") + ".tmp"
+                ts.sort("term").write.mode("overwrite").parquet(tmp_ts)
+                if fs.exists(self._p(path, "term_stats")):
+                    fs.delete(self._p(path, "term_stats"))
+                fs.rename(tmp_ts, self._p(path, "term_stats"))
+                ts_timing["term_stats"] = round(time.time() - tt, 2)
+                manifest["ts_done"] = True
+                manifest["lineage"].append(
+                    {"stage": "term_stats", "timings": dict(ts_timing)})
+            params = write_directory_rows(
+                base.select("term", "shard", "n_blocks", "n_postings",
+                            "max_tf", "min_dl"),
+                self._p(path, "directory"), fs)
+            base.unpersist()
             manifest.setdefault("dir_quant", {})["directory"] = params
             manifest["lineage"].append(
                 {"stage": "directory",
