@@ -49,6 +49,7 @@ block bytes through Arrow/numpy) — see BENCH.md's bandwidth ceiling.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -96,6 +97,16 @@ _BYPASS_REPROBE_SECS = 300.0
 # (shard long, kind int, id long, p int)
 _KIND_MASK = 0   # (shard, kind=0, id=doc_id, p): selection-vector row
 _KIND_QUERY = 1  # (shard, kind=1, id=query_id): per-shard query routing
+
+# target decoded bytes per routed-scan task. Every python task costs a
+# fixed ~0.2 CPU-s (Arrow runner round-trip) regardless of data, so a
+# routed scan over a small slice should run FEW tasks: task count is
+# capped at ceil(routed_bytes / this) in addition to the shard-count and
+# parallelism caps. 8 MiB keeps the fixed cost under ~15% of a task's
+# decode work (measured ~5-6 MB decoded per CPU-second); at 100 TB the
+# byte cap is never the binding term — defaultParallelism is.
+_ROUTED_TASK_BYTES = int(os.environ.get("PDX_ROUTED_TASK_BYTES",
+                                        8 * 1024 * 1024))
 
 
 
@@ -594,6 +605,7 @@ class Searcher:
         # observability hook ops dashboards and tests read
         self.last_plan: dict = {}
         self._map_scan_ok = self._verify_scan_granularity()
+        self._seg_bytes: int | None = None  # lazy, see _segment_bytes
 
     def _manifest_fingerprint(self) -> str:
         """Cheap generation token for the on-disk manifest (a small JSON
@@ -625,6 +637,43 @@ class Searcher:
             self._manifest_fp = fp
             return True
         return False
+
+    def _segment_bytes(self) -> int:
+        """Total on-disk bytes of the segment files (base + deltas),
+        listed once per Searcher through the fs seam. Used only to SIZE
+        routed-scan tasks (never for correctness); a listing failure
+        caches 0, which disables the byte cap."""
+        if self._seg_bytes is None:
+            try:
+                self._seg_bytes = sum(
+                    sz for d in self.manifest["segment_dirs"]
+                    + self.manifest.get("deltas", [])
+                    for _, sz in self.fs.parquet_files(
+                        self.fs.join(self.path, d)))
+            except Exception:
+                self._seg_bytes = 0
+        return self._seg_bytes
+
+    def _routed_task_count(self, n_routed_shards: int) -> int:
+        """Task count for a routed scan: at most one task per routed
+        shard, never more than defaultParallelism, and never more tasks
+        than the routed BYTE slice justifies (each python task has a
+        fixed ~0.2 CPU-s cost, so a few-MB routed slice should run as
+        1-2 tasks even on a 32-core box — the round-5 pruning bench
+        measured the task overhead alone flipping the routed path from
+        a CPU win to a 2x CPU loss on a 28 MB index). Routed bytes are
+        estimated as the routed shard fraction of the total segment
+        bytes; shards are near-uniform by construction (dense doc_ids,
+        fixed docs_per_shard)."""
+        n_shards_total = max(1, -(-self.n_docs // self.cfg.docs_per_shard))
+        n = max(1, min(self.spark.sparkContext.defaultParallelism,
+                       n_routed_shards))
+        total = self._segment_bytes()
+        if total > 0:
+            routed = total * min(n_routed_shards, n_shards_total) \
+                / n_shards_total
+            n = min(n, max(1, -(-int(routed) // _ROUTED_TASK_BYTES)))
+        return n
 
     def _verify_scan_granularity(self) -> bool:
         """The shuffle-free map-scan is exact only if the reader never
@@ -1341,11 +1390,11 @@ class Searcher:
             # fixed ~0.2-0.3 CPU-s (Arrow runner round-trip) REGARDLESS
             # of data, so a 2-shard seed scan split across 32 scan
             # partitions pays 32x overhead for nothing. Coalesce to at
-            # most one task per routed shard (no shuffle — scan
-            # partitions merge). Unrouted/exhaustive scans keep full
-            # scan parallelism.
-            seg = seg.coalesce(max(1, min(
-                self.spark.sparkContext.defaultParallelism, len(routing))))
+            # most one task per routed shard, and to at most one task
+            # per _ROUTED_TASK_BYTES of the routed byte slice (no
+            # shuffle — scan partitions merge). Unrouted/exhaustive
+            # scans keep full scan parallelism.
+            seg = seg.coalesce(self._routed_task_count(len(routing)))
         return seg.mapInPandas(fn, schema=schemas.RESULTS)
 
     def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],

@@ -203,3 +203,28 @@ def test_two_phase_pruning_wins_on_topic_clustered_corpus(spark, tmp_path):
     # every file covers a small contiguous slice, not a hash spray
     assert max(spans) <= max(3, 2 * plan["n_shards"] // n_files), \
         (spans, plan["n_shards"], n_files)
+
+
+def test_routed_task_count_is_byte_aware(searcher):
+    """Round-5: routed-scan task count is capped by the routed BYTE
+    slice, not just shard count — a few-MB routed slice must run as 1-2
+    tasks even with many routed shards on a many-core box (each python
+    task costs ~0.2 fixed CPU-s; the pruning bench measured task
+    overhead alone flipping routed from a CPU win to a 2x CPU loss)."""
+    par = searcher.spark.sparkContext.defaultParallelism
+    total = searcher._segment_bytes()
+    assert total > 0  # listing works through the fs seam
+    # tiny index: even a routing that covers every shard is a tiny byte
+    # slice -> one task
+    n_shards = -(-searcher.n_docs // searcher.cfg.docs_per_shard)
+    assert searcher._routed_task_count(n_shards) == 1
+    assert searcher._routed_task_count(1) == 1
+    # byte cap never RAISES the count above shard/parallelism caps:
+    # with a huge fake byte total the old min(parallelism, n_routed)
+    # behavior is restored exactly
+    searcher._seg_bytes = 1 << 50
+    try:
+        assert searcher._routed_task_count(2) == min(par, 2)
+        assert searcher._routed_task_count(10_000) == par
+    finally:
+        searcher._seg_bytes = total
