@@ -596,6 +596,42 @@ def q_transcripts_filtered(spark, sf_dir):
             .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))
 
 
+# fielded serving: constant per-role score multipliers (upweight
+# assistant turns, downweight tool output dumps — the transcript
+# corpus's spam axis). Constant-within-role is what makes the
+# composition below EXACT.
+ROLE_BOOST = {"assistant": 1.5, "user": 1.0, "system": 0.75,
+              "tool": 0.25}
+
+
+def q_transcripts_role_boosted(spark, sf_dir):
+    """BM25 x per-role weight, served as a composition of the engine's
+    filtered searches: within a role the weight is a constant, so the
+    global weighted top-k is contained in the union of the per-role
+    (predicate-filtered) top-k's — R bounded searches, no scorer
+    change, exact. The oracle recomputes the weighted ranking from the
+    raw parquet in SQL."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+    s = _transcripts_searcher(spark)
+    parts = []
+    for role, w in ROLE_BOOST.items():
+        res = s.search_batch([(0, TRANS_QUERY, 10)],
+                             predicate=f"role = '{role}'",
+                             two_phase_min_shards=2)
+        parts.append(res.select(
+            "doc_id", (F.col("score") * F.lit(w)).alias("wscore")))
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    win = Window.orderBy(F.desc("wscore"), F.asc("doc_id"))
+    top = (allp.withColumn("_rn", F.row_number().over(win))
+           .filter(F.col("_rn") <= 10).drop("_rn"))
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (top.join(keys, "doc_id")
+            .select("conv_id", "turn_idx",
+                    F.round("wscore", 4).alias("score")))
+
+
 def q_transcripts_roundtrip(spark, sf_dir):
     """Per-turn invariant (input_hint): stable (conv_id, turn_idx)
     ordering with dense doc_id and correct per-turn token length."""
@@ -668,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "transcripts_bm25": q_transcripts_bm25,
         "transcripts_filtered": q_transcripts_filtered,
+        "transcripts_role_boosted": q_transcripts_role_boosted,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -789,6 +826,54 @@ FROM top JOIN trans t USING (doc_id)
 """
 
 
+def _bm25_trans_boosted_sql(query_terms: list[str], k: int,
+                            weights: dict[str, float]) -> str:
+    """Weighted-BM25 twin of q_transcripts_role_boosted: the same global
+    BM25 as _bm25_trans_sql, multiplied by a constant per-role weight
+    before the top-k cut."""
+    path = _transcripts_fixture_path()
+    terms = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    case = " ".join(f"WHEN '{r}' THEN {w}" for r, w in weights.items())
+    return f"""
+WITH trans AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, role, tool, text
+  FROM read_parquet('{path}')
+),
+corpus AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM trans),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+qterms(term) AS (VALUES {terms}),
+tf AS (
+  SELECT d.doc_id, d.dl, u.t AS term, count(*) AS tf
+  FROM docs d, unnest(d.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * {BM25.k1 + 1.0})
+             / (tf.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+weighted AS (
+  SELECT sc.doc_id,
+         sc.score * (CASE t.role {case} ELSE 1.0 END) AS wscore
+  FROM scored sc JOIN trans t USING (doc_id)
+),
+top AS (
+  SELECT doc_id, round(wscore, 4) AS score FROM weighted
+  ORDER BY wscore DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.conv_id, t.turn_idx, top.score
+FROM top JOIN trans t USING (doc_id)
+"""
+
+
 _EMB_PAIRS_SQL = f"""
     WITH uni AS (SELECT * FROM {_DUP_EMB_SQL})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -853,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
     trans_path = _transcripts_fixture_path()
     sql = {
         "transcripts_bm25": _bm25_trans_sql(TRANS_QUERY.split(), 10),
+        "transcripts_role_boosted": _bm25_trans_boosted_sql(
+            TRANS_QUERY.split(), 10, ROLE_BOOST),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),
         "transcripts_roundtrip": f"""
