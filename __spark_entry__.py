@@ -632,6 +632,37 @@ def q_transcripts_role_boosted(spark, sf_dir):
                     F.round("wscore", 4).alias("score")))
 
 
+def q_transcripts_snippets(spark, sf_dir):
+    """Serving-side snippet/highlight generation: the index stores NO
+    text (correct at 100 TB — text lives in the source table), so
+    snippets come from joining the top-k hits back to the source
+    parquet on the stable (conv_id, turn_idx) key and slicing a fixed
+    window around the first query-term occurrence, all in JVM string
+    expressions (no UDF). Deterministic spec shared with the oracle:
+    pos = first occurrence of the first query term present (query
+    order), snippet = substring(text, max(1, pos-20), 60)."""
+    from pdx_spark.schemas import TRANSCRIPTS
+    s = _transcripts_searcher(spark)
+    res = s.search_batch([(0, TRANS_QUERY, 10)], two_phase_min_shards=2,
+                         force_two_phase=True)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    src = (spark.read.schema(TRANSCRIPTS)
+           .parquet(_transcripts_fixture_path())
+           .select("conv_id", "turn_idx", "text"))
+    hits = (res.join(keys, "doc_id")
+            .join(src, ["conv_id", "turn_idx"]))
+    terms = TRANS_QUERY.split()
+    pos = F.lit(1)
+    for t in reversed(terms):  # first term present, in query order
+        p = F.instr(F.lower("text"), t.lower())
+        pos = F.when(p > 0, p).otherwise(pos)
+    return (hits.withColumn("_pos", pos)
+            .select("conv_id", "turn_idx",
+                    F.round("score", 4).alias("score"),
+                    F.expr("substring(text, greatest(1, _pos - 20), 60)")
+                    .alias("snippet")))
+
+
 def q_transcripts_roundtrip(spark, sf_dir):
     """Per-turn invariant (input_hint): stable (conv_id, turn_idx)
     ordering with dense doc_id and correct per-turn token length."""
@@ -705,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25": q_transcripts_bm25,
         "transcripts_filtered": q_transcripts_filtered,
         "transcripts_role_boosted": q_transcripts_role_boosted,
+        "transcripts_snippets": q_transcripts_snippets,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -874,6 +906,27 @@ FROM top JOIN trans t USING (doc_id)
 """
 
 
+def _bm25_trans_snippet_sql(query_terms: list[str], k: int) -> str:
+    """Snippet twin of q_transcripts_snippets: top-k BM25 (same as
+    _bm25_trans_sql) plus substring(text, max(1, pos-20), 60) where pos
+    is the first occurrence of the first query term present."""
+    base = _bm25_trans_sql(query_terms, k)
+    # graft the snippet onto the final projection of the base oracle
+    tail = ("SELECT t.conv_id, t.turn_idx, top.score\n"
+            "FROM top JOIN trans t USING (doc_id)")
+    assert base.rstrip().endswith(tail.splitlines()[-1]), base[-120:]
+    pos = "1"
+    for t in reversed(query_terms):  # first term present, in query order
+        pos = (f"CASE WHEN strpos(lower(t.text), '{t.lower()}') > 0 "
+               f"THEN strpos(lower(t.text), '{t.lower()}') ELSE {pos} END")
+    new_tail = (
+        "SELECT t.conv_id, t.turn_idx, top.score,\n"
+        f"       substring(t.text, greatest(1, ({pos}) - 20), 60)"
+        " AS snippet\n"
+        "FROM top JOIN trans t USING (doc_id)")
+    return base.replace(tail, new_tail)
+
+
 _EMB_PAIRS_SQL = f"""
     WITH uni AS (SELECT * FROM {_DUP_EMB_SQL})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -940,6 +993,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_bm25": _bm25_trans_sql(TRANS_QUERY.split(), 10),
         "transcripts_role_boosted": _bm25_trans_boosted_sql(
             TRANS_QUERY.split(), 10, ROLE_BOOST),
+        "transcripts_snippets": _bm25_trans_snippet_sql(
+            TRANS_QUERY.split(), 10),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),
         "transcripts_roundtrip": f"""
