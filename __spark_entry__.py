@@ -663,6 +663,25 @@ def q_transcripts_snippets(spark, sf_dir):
                     .alias("snippet")))
 
 
+def q_transcripts_conv_rank(spark, sf_dir):
+    """Conversation-level retrieval: rank CONVERSATIONS by their best-
+    matching turn (max-aggregation over turn BM25). Exact by coverage:
+    conv maxima order like their best turns' first occurrences in the
+    global turn ranking, so if the turn-level top-T spans >= 10
+    distinct conv_ids, the first 10 distinct convs in turn order ARE
+    the true conv top-10 (any unretrieved turn scores below all of
+    them). T=100 over ~9-turn conversations gives wide margin; the
+    oracle aggregates over ALL turns as ground truth."""
+    s = _transcripts_searcher(spark)
+    res = s.search_batch([(0, TRANS_QUERY, 100)], two_phase_min_shards=2,
+                         force_two_phase=True)
+    keys = s.docs().select("doc_id", "conv_id")
+    conv = (res.join(keys, "doc_id")
+            .groupBy("conv_id").agg(F.max("score").alias("best")))
+    return (conv.orderBy(F.desc("best"), F.asc("conv_id")).limit(10)
+            .select("conv_id", F.round("best", 4).alias("score")))
+
+
 def q_transcripts_roundtrip(spark, sf_dir):
     """Per-turn invariant (input_hint): stable (conv_id, turn_idx)
     ordering with dense doc_id and correct per-turn token length."""
@@ -737,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_filtered": q_transcripts_filtered,
         "transcripts_role_boosted": q_transcripts_role_boosted,
         "transcripts_snippets": q_transcripts_snippets,
+        "transcripts_conv_rank": q_transcripts_conv_rank,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -927,6 +947,22 @@ def _bm25_trans_snippet_sql(query_terms: list[str], k: int) -> str:
     return base.replace(tail, new_tail)
 
 
+def _bm25_trans_conv_sql(query_terms: list[str], k: int) -> str:
+    """Conversation-rank twin of q_transcripts_conv_rank: max turn BM25
+    per conv over ALL turns (ground truth for the engine's coverage
+    argument), top-k convs."""
+    base = _bm25_trans_sql(query_terms, 10_000_000)
+    tail_at = base.index("top AS (")
+    return base[:tail_at] + f"""conv AS (
+  SELECT t.conv_id, max(sc.score) AS best
+  FROM scored sc JOIN trans t USING (doc_id)
+  GROUP BY 1
+)
+SELECT conv_id, round(best, 4) AS score FROM conv
+ORDER BY best DESC, conv_id ASC LIMIT {k}
+"""
+
+
 _EMB_PAIRS_SQL = f"""
     WITH uni AS (SELECT * FROM {_DUP_EMB_SQL})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -994,6 +1030,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_role_boosted": _bm25_trans_boosted_sql(
             TRANS_QUERY.split(), 10, ROLE_BOOST),
         "transcripts_snippets": _bm25_trans_snippet_sql(
+            TRANS_QUERY.split(), 10),
+        "transcripts_conv_rank": _bm25_trans_conv_sql(
             TRANS_QUERY.split(), 10),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),
