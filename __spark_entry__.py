@@ -663,6 +663,21 @@ def q_transcripts_snippets(spark, sf_dir):
                     .alias("snippet")))
 
 
+def q_transcripts_bm25_and(spark, sf_dir):
+    """Conjunctive (AND) top-k: docs must contain EVERY query term,
+    ranked by the same BM25. Engine-native (require_all_terms=True:
+    per-shard match counting in the scorer, conjunctive shard-
+    intersection in the two-phase router); oracle = HAVING
+    count(matched terms) = n over the same SQL scoring."""
+    s = _transcripts_searcher(spark)
+    res = s.search_batch([(0, TRANS_QUERY, 10)], require_all_terms=True,
+                         two_phase_min_shards=2, force_two_phase=True)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (res.join(keys, "doc_id")
+            .select("conv_id", "turn_idx",
+                    F.round("score", 4).alias("score")))
+
+
 def q_transcripts_conv_rank(spark, sf_dir):
     """Conversation-level retrieval: rank CONVERSATIONS by their best-
     matching turn (max-aggregation over turn BM25). Exact by coverage:
@@ -757,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_role_boosted": q_transcripts_role_boosted,
         "transcripts_snippets": q_transcripts_snippets,
         "transcripts_conv_rank": q_transcripts_conv_rank,
+        "transcripts_bm25_and": q_transcripts_bm25_and,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -947,6 +963,19 @@ def _bm25_trans_snippet_sql(query_terms: list[str], k: int) -> str:
     return base.replace(tail, new_tail)
 
 
+def _bm25_trans_and_sql(query_terms: list[str], k: int) -> str:
+    """Conjunctive twin of q_transcripts_bm25_and: the tf CTE holds one
+    row per matched (doc, term), so HAVING count(*) = n_terms keeps
+    exactly the docs containing every query term."""
+    base = _bm25_trans_sql(query_terms, k)
+    anchor = "  GROUP BY tf.doc_id\n"
+    assert anchor in base
+    return base.replace(
+        anchor,
+        anchor.rstrip("\n")
+        + f"\n  HAVING count(*) = {len(set(query_terms))}\n")
+
+
 def _bm25_trans_conv_sql(query_terms: list[str], k: int) -> str:
     """Conversation-rank twin of q_transcripts_conv_rank: max turn BM25
     per conv over ALL turns (ground truth for the engine's coverage
@@ -1032,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_snippets": _bm25_trans_snippet_sql(
             TRANS_QUERY.split(), 10),
         "transcripts_conv_rank": _bm25_trans_conv_sql(
+            TRANS_QUERY.split(), 10),
+        "transcripts_bm25_and": _bm25_trans_and_sql(
             TRANS_QUERY.split(), 10),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),

@@ -32,10 +32,14 @@ def queries_to_terms_df(spark, queries: list[tuple[int, str, int]]):
 
 def exact_topk(postings: DataFrame, term_stats: DataFrame, n_docs: int,
                avgdl: float, params: BM25Params,
-               queries: list[tuple[int, str, int]]) -> DataFrame:
+               queries: list[tuple[int, str, int]],
+               require_all_terms: bool = False) -> DataFrame:
     """-> DataFrame(query_id, doc_id, score) with per-query top-k,
     tie-break (score desc, doc_id asc). Only score>0 docs appear (a
-    posting join can't produce zero-score docs: Lucene idf > 0)."""
+    posting join can't produce zero-score docs: Lucene idf > 0).
+    require_all_terms=True keeps only docs matching EVERY query term
+    (conjunctive/AND semantics): one JVM-side count per (query, doc)
+    against the query's distinct-term count — still zero UDFs."""
     spark = postings.sparkSession
     qterms = queries_to_terms_df(spark, queries)
 
@@ -53,7 +57,17 @@ def exact_topk(postings: DataFrame, term_stats: DataFrame, n_docs: int,
                                                     F.lit(avgdl), params)))
 
     scored = (impact.groupBy("query_id", "k", "doc_id")
-              .agg(F.sum("impact").alias("score")))
+              .agg(F.sum("impact").alias("score"),
+                   F.count(F.lit(1)).alias("_nm")))
+    if require_all_terms:
+        # postings hold one row per (term, doc), so _nm counts the
+        # matched distinct terms; a query term absent from the whole
+        # corpus never joins, so its query correctly yields no doc
+        nterms = (qterms.groupBy("query_id")
+                  .agg(F.countDistinct("term").alias("_nt")))
+        scored = (scored.join(F.broadcast(nterms), "query_id")
+                  .filter(F.col("_nm") == F.col("_nt")))
+    scored = scored.drop("_nm", "_nt")
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("_rn", F.row_number().over(w))

@@ -228,6 +228,10 @@ def _shard_scorer(payload: dict, has_aux: bool):
     # closure-carried small mask ({mode, ids sorted, p}) — the scan-fused
     # selection vector; aux mask rows take precedence when both exist
     cmask = payload.get("mask")
+    # conjunctive (AND) semantics: a doc must match EVERY query term.
+    # Exact per shard (doc-range sharding keeps all of a doc's postings
+    # in one shard); callers drop queries with corpus-OOV terms upfront.
+    require_all = payload.get("require_all", False)
     # predicate_mode: None (no predicate), "allow" (mask rows are the
     # passing docs, low selectivity) or "deny" (mask rows are the failing
     # docs, high selectivity) — the F3 selectivity-adaptive branch.
@@ -339,6 +343,7 @@ def _shard_scorer(payload: dict, has_aux: bool):
 
         scores = np.zeros(width, dtype=np.float64)   # reused per query
         diff = np.zeros(width + 1, dtype=np.float64)  # reused ub builder
+        nmatch = np.zeros(width, dtype=np.int32) if require_all else None
 
         out_q, out_d, out_s = [], [], []
         for qid, qterms, k, theta in queries:
@@ -346,6 +351,11 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 continue
             present = [t for t in qterms if t in term_rows]
             if not present:
+                continue
+            if require_all and len(present) < len(qterms):
+                # some query term has no postings in this shard, so no
+                # doc here can match all terms (qterms are distinct and
+                # corpus-present; a doc's postings never span shards)
                 continue
             # candidate mask from block metadata only (range-add + cumsum)
             # — a WORK-SAVER, not a correctness gate: docs below θ can
@@ -370,6 +380,8 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 ccum = np.concatenate([[0], np.cumsum(cand)])
 
             scores[:] = 0.0
+            if require_all:
+                nmatch[:] = 0
             touched = False
             for t in present:  # sorted term order == oracle accumulation order
                 s, e = term_rows[t]
@@ -383,6 +395,8 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 # real memory traffic: 64 KB read+write per term-add vs
                 # the scatter's nnz-proportional footprint)
                 scores[pos] += idf[t] * g
+                if require_all:
+                    nmatch[pos] += 1
                 touched = True
             if not touched:
                 continue
@@ -391,6 +405,12 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 sel = np.flatnonzero(scores > 0)
             else:
                 sel = np.flatnonzero(cand & (scores > 0))
+            if require_all and len(sel):
+                # AND gate: keep docs matching every (distinct,
+                # corpus-present) query term; a term skipped by the
+                # candidate check above correctly empties this — no
+                # candidate doc could have matched it
+                sel = sel[nmatch[sel] == len(present)]
             if len(sel) == 0:
                 continue
             vals = scores[sel]
@@ -799,9 +819,11 @@ class Searcher:
 
     # -- public API ----------------------------------------------------------
     def search(self, query_text: str, k: int = 10, *, exact: bool = False,
-               predicate: str | None = None) -> list[tuple[int, float]]:
+               predicate: str | None = None,
+               require_all_terms: bool = False) -> list[tuple[int, float]]:
         df = self.search_batch([(0, query_text, k)], exact=exact,
-                               predicate=predicate)
+                               predicate=predicate,
+                               require_all_terms=require_all_terms)
         rows = df.orderBy(F.desc("score"), F.asc("doc_id")).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -809,7 +831,8 @@ class Searcher:
                      exact: bool = False, predicate: str | None = None,
                      seed_shards: int = 2,
                      two_phase_min_shards: int = 64,
-                     force_two_phase: bool = False) -> DataFrame:
+                     force_two_phase: bool = False,
+                     require_all_terms: bool = False) -> DataFrame:
         """-> DataFrame(query_id, doc_id, score), per-query top-k
         (materialized — result sets are tiny, <= Σ k).
 
@@ -836,7 +859,19 @@ class Searcher:
 
         idf = self._idf_lookup(all_terms)
         tm["idf"] = round(time.time() - _t0, 3)
-        live = [(q, [t for t in ts if t in idf], k) for q, ts, k in parsed]
+        # conjunctive (AND) semantics: every query term must match. A
+        # query with an OOV/dead term can match nothing — drop it HERE
+        # (the per-shard absent-term check below only sees terms that
+        # exist somewhere). Exact per shard because doc-range sharding
+        # puts all of a doc's postings in one shard; θ pruning stays
+        # admissible because the OR upper bound >= the AND score.
+        self._require_all = bool(require_all_terms)
+        if require_all_terms:
+            live = [(q, ts, k) for q, ts, k in parsed
+                    if all(t in idf for t in ts)]
+        else:
+            live = [(q, [t for t in ts if t in idf], k)
+                    for q, ts, k in parsed]
         live = [(q, ts, k) for q, ts, k in live if ts]
         if not live:
             self.last_plan = {"mode": "empty"}  # every term OOV/dead
@@ -909,8 +944,12 @@ class Searcher:
             potential = 0
             for q, ts, _k in live:
                 shs, contribs = [], []
+                feas = None  # AND: shards where EVERY term has postings
                 for t in ts:
                     sh_t, g_t = plan_terms[t]
+                    if require_all_terms:
+                        feas = sh_t if feas is None else np.intersect1d(
+                            feas, sh_t, assume_unique=True)
                     if len(sh_t):
                         shs.append(sh_t)
                         contribs.append(idf[t] * g_t)
@@ -921,6 +960,15 @@ class Searcher:
                 ush, inv = np.unique(sh, return_inverse=True)
                 ub = np.zeros(len(ush))
                 np.add.at(ub, inv, contrib)
+                if require_all_terms:
+                    # conjunctive routing: only the intersection can
+                    # match all terms — the textbook AND shard prune
+                    # (the scorer's per-shard gate makes this a pure
+                    # work-saver, never a correctness dependency)
+                    keep = np.isin(ush, feas, assume_unique=True)
+                    ush, ub = ush[keep], ub[keep]
+                    if not len(ush):
+                        continue
                 q_ub[int(q)] = (ush, ub)
                 potential += len(ush)
             if potential > _ROUTING_CAP:
@@ -1383,7 +1431,8 @@ class Searcher:
                    "predicate_mode": None if mask is None else mask["mode"],
                    "assigned": False, "has_mask": mask is not None,
                    "mask": mask,
-                   "routing": routing, "anti_routing": anti_routing}
+                   "routing": routing, "anti_routing": anti_routing,
+                   "require_all": bool(getattr(self, "_require_all", False))}
         fn = _partition_scorer(payload)
         if routing is not None:
             # routed scans touch few shards; every python task costs a
@@ -1406,7 +1455,8 @@ class Searcher:
                    "docs_per_shard": self.cfg.docs_per_shard,
                    "predicate_mode": predicate_mode,
                    "assigned": asg_df is not None,
-                   "has_mask": mask_df is not None}
+                   "has_mask": mask_df is not None,
+                   "require_all": bool(getattr(self, "_require_all", False))}
         aux = self._aux(mask_df, asg_df)
         if aux is not None:
             fn = _shard_scorer(payload, has_aux=True)

@@ -49,18 +49,26 @@ class BM25Oracle:
         return s
 
     def topk(self, query_text: str, k: int,
-             allowed: set[int] | None = None) -> list[tuple[int, float]]:
+             allowed: set[int] | None = None,
+             require_all_terms: bool = False) -> list[tuple[int, float]]:
         """[(doc_id, score)] sorted (score desc, doc_id asc); only docs
-        with score > 0 (no-match docs never enter a posting scan)."""
-        terms = sorted(set(tokenize_py(query_text)))
-        terms = [t for t in terms if t in self.df]
-        if not terms:
+        with score > 0 (no-match docs never enter a posting scan).
+        require_all_terms=True: conjunctive semantics — candidates are
+        the docs containing EVERY query term; a corpus-OOV term means
+        no doc can match and the result is empty."""
+        qterms = sorted(set(tokenize_py(query_text)))
+        terms = [t for t in qterms if t in self.df]
+        if not terms or (require_all_terms and len(terms) < len(qterms)):
             return []
         candidates = set()
         for t in terms:
-            for d, c in self.tf.items():
-                if t in c:
-                    candidates.add(d)
+            hits = {d for d, c in self.tf.items() if t in c}
+            if require_all_terms:
+                candidates = hits if not candidates else candidates & hits
+                if not candidates:
+                    return []
+            else:
+                candidates |= hits
         if allowed is not None:
             candidates &= allowed
         scored = [(d, self.score(terms, d)) for d in candidates]

@@ -201,3 +201,53 @@ def test_default_adaptive_path_many_shards(spark, tiny_pdf, tiny_oracle,
     s.fs.write_text_atomic(man_path, s.fs.read_text(man_path) + "\n")
     assert s._bypass_expired()                           # manifest trigger
     assert not s._bypass_expired()  # fp re-armed after observing change
+
+
+def test_require_all_terms_vs_oracle(spark, tiny_df, searcher, tiny_oracle):
+    """Conjunctive (AND) semantics: every path — blocked exhaustive,
+    θ-seeded pruned (incl. the conjunctive shard-intersection routing),
+    and the standalone exact DataFrame operator — matches the oracle's
+    intersect-then-rank; a partial-OOV query returns EMPTY (not its
+    OR fallback)."""
+    and_queries = [
+        (0, "w0003 w0150", 10),           # conjunction nonempty
+        (1, "w0000 w0001", 10),           # two hot terms
+        (2, "w4990 w4991 w4992", 10),     # rare tail, likely empty
+        (3, "w0001 zzoutofvocabzz", 10),  # partial OOV -> MUST be empty
+        (4, "needle000001", 5),           # single term: AND == OR
+    ]
+    want = {q: tiny_oracle.topk(t, k, require_all_terms=True)
+            for q, t, k in and_queries}
+    assert want[0], "fixture regression: AND conjunction became empty"
+    assert want[3] == []
+
+    for tag, kw in (("blocked", dict(exact=True)),
+                    ("pruned", dict(two_phase_min_shards=2,
+                                    force_two_phase=True))):
+        res = searcher.search_batch(and_queries, require_all_terms=True,
+                                    **kw).persist()
+        for qid, qtext, k in and_queries:
+            assert_rank_identical(collect_topk(res, qid), want[qid],
+                                  f"AND {tag} q{qid}")
+        res.unpersist()
+        # AND results are a subset of OR results' doc set at equal k
+        # only when k covers the OR set; check the semantic relation on
+        # the full corpus instead: every AND hit contains every term
+        for qid, qtext, k in and_queries:
+            for d, _ in want[qid]:
+                assert all(t in tiny_oracle.tf[d]
+                           for t in set(qtext.split()) & set(tiny_oracle.df))
+
+    # standalone exact DataFrame operator (zero-UDF JVM plan)
+    p = BM25Params()
+    ids = C.assign_doc_ids(tiny_df)
+    posts = C.postings(ids)
+    n, avgdl = C.corpus_stats(C.build_docs(ids))
+    ts = C.term_stats(posts, n, avgdl, p)
+    got = exact_topk(posts, ts, n, avgdl, p, and_queries,
+                     require_all_terms=True)
+    for qid, qtext, k in and_queries:
+        rows = sorted(((r["doc_id"], r["score"])
+                       for r in got.filter(F.col("query_id") == qid)
+                       .collect()), key=lambda x: (-x[1], x[0]))
+        assert_rank_identical(rows, want[qid], f"AND exact-df q{qid}")
