@@ -678,6 +678,22 @@ def q_transcripts_bm25_and(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+TRANS_QUERY_3 = "w0003 w0150 w0555"
+
+
+def q_transcripts_bm25_msm(spark, sf_dir):
+    """minimum_should_match (m-of-n) top-k: docs matching >= 2 of the 3
+    query terms, ranked by the same BM25 — the Lucene msm analog,
+    served by the scorer's match-count gate."""
+    s = _transcripts_searcher(spark)
+    res = s.search_batch([(0, TRANS_QUERY_3, 10)], min_should_match=2,
+                         two_phase_min_shards=2, force_two_phase=True)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (res.join(keys, "doc_id")
+            .select("conv_id", "turn_idx",
+                    F.round("score", 4).alias("score")))
+
+
 def q_transcripts_conv_rank(spark, sf_dir):
     """Conversation-level retrieval: rank CONVERSATIONS by their best-
     matching turn (max-aggregation over turn BM25). Exact by coverage:
@@ -773,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_snippets": q_transcripts_snippets,
         "transcripts_conv_rank": q_transcripts_conv_rank,
         "transcripts_bm25_and": q_transcripts_bm25_and,
+        "transcripts_bm25_msm": q_transcripts_bm25_msm,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -963,17 +980,19 @@ def _bm25_trans_snippet_sql(query_terms: list[str], k: int) -> str:
     return base.replace(tail, new_tail)
 
 
-def _bm25_trans_and_sql(query_terms: list[str], k: int) -> str:
-    """Conjunctive twin of q_transcripts_bm25_and: the tf CTE holds one
-    row per matched (doc, term), so HAVING count(*) = n_terms keeps
-    exactly the docs containing every query term."""
+def _bm25_trans_and_sql(query_terms: list[str], k: int,
+                        min_match: int | None = None) -> str:
+    """Match-count twin of q_transcripts_bm25_and / _msm: the tf CTE
+    holds one row per matched (doc, term), so HAVING count(*) >= m (or
+    = n_terms for AND) keeps exactly the docs reaching the match
+    threshold."""
     base = _bm25_trans_sql(query_terms, k)
     anchor = "  GROUP BY tf.doc_id\n"
     assert anchor in base
+    cond = (f">= {int(min_match)}" if min_match is not None
+            else f"= {len(set(query_terms))}")
     return base.replace(
-        anchor,
-        anchor.rstrip("\n")
-        + f"\n  HAVING count(*) = {len(set(query_terms))}\n")
+        anchor, anchor.rstrip("\n") + f"\n  HAVING count(*) {cond}\n")
 
 
 def _bm25_trans_conv_sql(query_terms: list[str], k: int) -> str:
@@ -1064,6 +1083,8 @@ def oracle_sql() -> dict[str, str]:
             TRANS_QUERY.split(), 10),
         "transcripts_bm25_and": _bm25_trans_and_sql(
             TRANS_QUERY.split(), 10),
+        "transcripts_bm25_msm": _bm25_trans_and_sql(
+            TRANS_QUERY_3.split(), 10, min_match=2),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),
         "transcripts_roundtrip": f"""

@@ -228,10 +228,13 @@ def _shard_scorer(payload: dict, has_aux: bool):
     # closure-carried small mask ({mode, ids sorted, p}) — the scan-fused
     # selection vector; aux mask rows take precedence when both exist
     cmask = payload.get("mask")
-    # conjunctive (AND) semantics: a doc must match EVERY query term.
-    # Exact per shard (doc-range sharding keeps all of a doc's postings
-    # in one shard); callers drop queries with corpus-OOV terms upfront.
+    # match-count semantics: require_all (AND) demands every query
+    # term; min_match m demands >= m distinct terms (OR is m=1). Exact
+    # per shard (doc-range sharding keeps all of a doc's postings in
+    # one shard); callers drop queries that cannot reach m upfront.
     require_all = payload.get("require_all", False)
+    min_match = int(payload.get("min_match", 1))
+    count_matches = require_all or min_match > 1
     # predicate_mode: None (no predicate), "allow" (mask rows are the
     # passing docs, low selectivity) or "deny" (mask rows are the failing
     # docs, high selectivity) — the F3 selectivity-adaptive branch.
@@ -343,7 +346,7 @@ def _shard_scorer(payload: dict, has_aux: bool):
 
         scores = np.zeros(width, dtype=np.float64)   # reused per query
         diff = np.zeros(width + 1, dtype=np.float64)  # reused ub builder
-        nmatch = np.zeros(width, dtype=np.int32) if require_all else None
+        nmatch = np.zeros(width, dtype=np.int32) if count_matches else None
 
         out_q, out_d, out_s = [], [], []
         for qid, qterms, k, theta in queries:
@@ -352,10 +355,12 @@ def _shard_scorer(payload: dict, has_aux: bool):
             present = [t for t in qterms if t in term_rows]
             if not present:
                 continue
-            if require_all and len(present) < len(qterms):
-                # some query term has no postings in this shard, so no
-                # doc here can match all terms (qterms are distinct and
-                # corpus-present; a doc's postings never span shards)
+            need = len(qterms) if require_all else min_match
+            if count_matches and len(present) < need:
+                # too few of the query's terms have postings in this
+                # shard for any doc here to reach the match threshold
+                # (qterms are distinct and corpus-present; a doc's
+                # postings never span shards)
                 continue
             # candidate mask from block metadata only (range-add + cumsum)
             # — a WORK-SAVER, not a correctness gate: docs below θ can
@@ -380,7 +385,7 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 ccum = np.concatenate([[0], np.cumsum(cand)])
 
             scores[:] = 0.0
-            if require_all:
+            if count_matches:
                 nmatch[:] = 0
             touched = False
             for t in present:  # sorted term order == oracle accumulation order
@@ -395,7 +400,7 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 # real memory traffic: 64 KB read+write per term-add vs
                 # the scatter's nnz-proportional footprint)
                 scores[pos] += idf[t] * g
-                if require_all:
+                if count_matches:
                     nmatch[pos] += 1
                 touched = True
             if not touched:
@@ -405,12 +410,14 @@ def _shard_scorer(payload: dict, has_aux: bool):
                 sel = np.flatnonzero(scores > 0)
             else:
                 sel = np.flatnonzero(cand & (scores > 0))
-            if require_all and len(sel):
-                # AND gate: keep docs matching every (distinct,
-                # corpus-present) query term; a term skipped by the
-                # candidate check above correctly empties this — no
-                # candidate doc could have matched it
-                sel = sel[nmatch[sel] == len(present)]
+            if count_matches and len(sel):
+                # match-count gate: keep docs reaching the threshold
+                # (AND: every distinct corpus-present query term; msm:
+                # >= m of them). A term skipped by the candidate check
+                # above was matched by no candidate doc, so the count
+                # shortfall it causes is correct, never spurious.
+                sel = sel[nmatch[sel] >= (len(present) if require_all
+                                          else min_match)]
             if len(sel) == 0:
                 continue
             vals = scores[sel]
@@ -820,10 +827,12 @@ class Searcher:
     # -- public API ----------------------------------------------------------
     def search(self, query_text: str, k: int = 10, *, exact: bool = False,
                predicate: str | None = None,
-               require_all_terms: bool = False) -> list[tuple[int, float]]:
+               require_all_terms: bool = False,
+               min_should_match: int = 1) -> list[tuple[int, float]]:
         df = self.search_batch([(0, query_text, k)], exact=exact,
                                predicate=predicate,
-                               require_all_terms=require_all_terms)
+                               require_all_terms=require_all_terms,
+                               min_should_match=min_should_match)
         rows = df.orderBy(F.desc("score"), F.asc("doc_id")).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -832,7 +841,8 @@ class Searcher:
                      seed_shards: int = 2,
                      two_phase_min_shards: int = 64,
                      force_two_phase: bool = False,
-                     require_all_terms: bool = False) -> DataFrame:
+                     require_all_terms: bool = False,
+                     min_should_match: int = 1) -> DataFrame:
         """-> DataFrame(query_id, doc_id, score), per-query top-k
         (materialized — result sets are tiny, <= Σ k).
 
@@ -865,14 +875,19 @@ class Searcher:
         # exist somewhere). Exact per shard because doc-range sharding
         # puts all of a doc's postings in one shard; θ pruning stays
         # admissible because the OR upper bound >= the AND score.
+        # min_should_match generalizes both: OR is m=1, AND is m=n. m
+        # counts matched distinct query terms; a query whose
+        # corpus-present term count falls below m can match nothing.
         self._require_all = bool(require_all_terms)
+        self._min_match = max(int(min_should_match), 1)
         if require_all_terms:
             live = [(q, ts, k) for q, ts, k in parsed
                     if all(t in idf for t in ts)]
         else:
             live = [(q, [t for t in ts if t in idf], k)
                     for q, ts, k in parsed]
-        live = [(q, ts, k) for q, ts, k in live if ts]
+        live = [(q, ts, k) for q, ts, k in live
+                if len(ts) >= self._min_match and ts]
         if not live:
             self.last_plan = {"mode": "empty"}  # every term OOV/dead
             return empty
@@ -1432,7 +1447,8 @@ class Searcher:
                    "assigned": False, "has_mask": mask is not None,
                    "mask": mask,
                    "routing": routing, "anti_routing": anti_routing,
-                   "require_all": bool(getattr(self, "_require_all", False))}
+                   "require_all": bool(getattr(self, "_require_all", False)),
+                   "min_match": int(getattr(self, "_min_match", 1))}
         fn = _partition_scorer(payload)
         if routing is not None:
             # routed scans touch few shards; every python task costs a
@@ -1456,7 +1472,8 @@ class Searcher:
                    "predicate_mode": predicate_mode,
                    "assigned": asg_df is not None,
                    "has_mask": mask_df is not None,
-                   "require_all": bool(getattr(self, "_require_all", False))}
+                   "require_all": bool(getattr(self, "_require_all", False)),
+                   "min_match": int(getattr(self, "_min_match", 1))}
         aux = self._aux(mask_df, asg_df)
         if aux is not None:
             fn = _shard_scorer(payload, has_aux=True)

@@ -50,25 +50,28 @@ class BM25Oracle:
 
     def topk(self, query_text: str, k: int,
              allowed: set[int] | None = None,
-             require_all_terms: bool = False) -> list[tuple[int, float]]:
+             require_all_terms: bool = False,
+             min_should_match: int = 1) -> list[tuple[int, float]]:
         """[(doc_id, score)] sorted (score desc, doc_id asc); only docs
         with score > 0 (no-match docs never enter a posting scan).
         require_all_terms=True: conjunctive semantics — candidates are
         the docs containing EVERY query term; a corpus-OOV term means
-        no doc can match and the result is empty."""
+        no doc can match and the result is empty. min_should_match=m:
+        candidates contain >= m distinct query terms (OR is m=1, AND
+        is m=n)."""
         qterms = sorted(set(tokenize_py(query_text)))
         terms = [t for t in qterms if t in self.df]
-        if not terms or (require_all_terms and len(terms) < len(qterms)):
+        m = max(int(min_should_match), 1)
+        if require_all_terms:
+            m = len(qterms)
+        if not terms or len(terms) < m:
             return []
-        candidates = set()
+        counts = Counter()
         for t in terms:
-            hits = {d for d, c in self.tf.items() if t in c}
-            if require_all_terms:
-                candidates = hits if not candidates else candidates & hits
-                if not candidates:
-                    return []
-            else:
-                candidates |= hits
+            for d, c in self.tf.items():
+                if t in c:
+                    counts[d] += 1
+        candidates = {d for d, n in counts.items() if n >= m}
         if allowed is not None:
             candidates &= allowed
         scored = [(d, self.score(terms, d)) for d in candidates]

@@ -251,3 +251,31 @@ def test_require_all_terms_vs_oracle(spark, tiny_df, searcher, tiny_oracle):
                        for r in got.filter(F.col("query_id") == qid)
                        .collect()), key=lambda x: (-x[1], x[0]))
         assert_rank_identical(rows, want[qid], f"AND exact-df q{qid}")
+
+
+def test_min_should_match_vs_oracle(searcher, tiny_oracle):
+    """m-of-n matching: m=1 == OR, m=n == AND, and an intermediate m
+    matches the oracle on both the blocked and the θ-seeded path."""
+    msm_queries = [
+        (0, "w0003 w0150 w0001", 10),
+        (1, "w0010 w0020 w0030 w0040 w0050", 25),
+        (2, "w0001 zzoutofvocabzz w0002", 10),  # OOV eats one slot
+    ]
+    for m in (1, 2, 3):
+        want = {q: tiny_oracle.topk(t, k, min_should_match=m)
+                for q, t, k in msm_queries}
+        for tag, kw in (("blocked", dict(exact=True)),
+                        ("pruned", dict(two_phase_min_shards=2,
+                                        force_two_phase=True))):
+            res = searcher.search_batch(msm_queries, min_should_match=m,
+                                        **kw).persist()
+            for qid, qtext, k in msm_queries:
+                assert_rank_identical(collect_topk(res, qid), want[qid],
+                                      f"msm{m} {tag} q{qid}")
+            res.unpersist()
+    # m=3 on q2 (only two corpus-present terms) must be empty
+    assert tiny_oracle.topk("w0001 zzoutofvocabzz w0002", 10,
+                            min_should_match=3) == []
+    # m beyond every query's term count -> empty plan, empty frame
+    res = searcher.search_batch(msm_queries, min_should_match=9)
+    assert res.count() == 0
