@@ -679,6 +679,46 @@ def q_transcripts_bm25_and(spark, sf_dir):
 
 
 TRANS_QUERY_3 = "w0003 w0150 w0555"
+# deterministic in-fixture trigram (first three tokens of doc 0; matches
+# 3 docs at the fixture seed — the phrase entry asserts exact scoring,
+# not fixture luck)
+TRANS_PHRASE = "w0233 w0000 w0001"
+
+_TIDX_POS_CACHE: dict[str, str] = {}
+
+
+def _transcripts_searcher_pos(spark):
+    """Positions-enabled twin of _transcripts_searcher (phrase search
+    needs the optional positional side artifact)."""
+    from pdx_spark.operators.indexer import Indexer
+    from pdx_spark.operators.searcher import Searcher
+    from pdx_spark.schemas import TRANSCRIPTS
+    p = _transcripts_fixture_path()
+    if p not in _TIDX_POS_CACHE:
+        cfg = IndexConfig(block_size=64, docs_per_shard=512)
+        path = os.path.join(tempfile.gettempdir(),
+                            f"pdx_entry_tidx_pos_v{cfg.format_version}"
+                            f"_b{cfg.block_size}_s{cfg.docs_per_shard}")
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            df = spark.read.schema(TRANSCRIPTS).parquet(p)
+            Indexer(spark, cfg=cfg).build(df, path, store_positions=True)
+        _TIDX_POS_CACHE[p] = path
+    return Searcher.load(spark, _TIDX_POS_CACHE[p])
+
+
+def q_transcripts_phrase(spark, sf_dir):
+    """Exact-phrase top-k (adjacent tokens, in order) over the optional
+    positional artifact: shifted position lists intersected JVM-side,
+    phrase-unit BM25 (idf of the phrase df x tfnorm of the phrase tf).
+    Oracle recomputes phrase tf with a list lambda over the token
+    arrays."""
+    from pdx_spark.operators.phrase import phrase_topk
+    s = _transcripts_searcher_pos(spark)
+    res = phrase_topk(s, TRANS_PHRASE, k=10)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (res.join(keys, "doc_id")
+            .select("conv_id", "turn_idx",
+                    F.round("score", 4).alias("score")))
 
 
 def q_transcripts_bm25_msm(spark, sf_dir):
@@ -790,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_conv_rank": q_transcripts_conv_rank,
         "transcripts_bm25_and": q_transcripts_bm25_and,
         "transcripts_bm25_msm": q_transcripts_bm25_msm,
+        "transcripts_phrase": q_transcripts_phrase,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -1011,6 +1052,51 @@ ORDER BY best DESC, conv_id ASC LIMIT {k}
 """
 
 
+def _phrase_trans_sql(phrase: str, k: int) -> str:
+    """Phrase twin of q_transcripts_phrase: phrase tf = count of start
+    offsets where the token array carries the phrase contiguously;
+    phrase-unit BM25 (idf from the phrase doc count over live docs,
+    tfnorm from the phrase tf at the global avgdl)."""
+    path = _transcripts_fixture_path()
+    terms = phrase.split()
+    n = len(terms)
+    cond = " AND ".join(f"toks[i+{j + 1}] = '{t}'"
+                        for j, t in enumerate(terms))
+    return f"""
+WITH trans AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, text
+  FROM read_parquet('{path}')
+),
+docs AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM trans
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM docs),
+ptf AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(range(len(toks) - {n - 1}),
+                         i -> {cond})) AS tf
+  FROM docs
+),
+hits AS (SELECT * FROM ptf WHERE tf > 0),
+dfp AS (SELECT count(*) AS c FROM hits),
+scored AS (
+  SELECT h.doc_id,
+         ln((s.n - d.c + 0.5) / (d.c + 0.5) + 1.0)
+         * (h.tf * {BM25.k1 + 1.0})
+         / (h.tf + {BM25.k1} * (1.0 - {BM25.b} + {BM25.b} * h.dl / s.avgdl))
+         AS score
+  FROM hits h CROSS JOIN dfp d CROSS JOIN stats s
+),
+top AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.conv_id, t.turn_idx, top.score
+FROM top JOIN trans t USING (doc_id)
+"""
+
+
 _EMB_PAIRS_SQL = f"""
     WITH uni AS (SELECT * FROM {_DUP_EMB_SQL})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1085,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
             TRANS_QUERY.split(), 10),
         "transcripts_bm25_msm": _bm25_trans_and_sql(
             TRANS_QUERY_3.split(), 10, min_match=2),
+        "transcripts_phrase": _phrase_trans_sql(TRANS_PHRASE, 10),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),
         "transcripts_roundtrip": f"""

@@ -212,7 +212,8 @@ class Indexer:
 
     # -- build -------------------------------------------------------------
     def build(self, transcripts: DataFrame, path: str, *,
-              n_chunks: int = 1, resume: bool = False) -> dict:
+              n_chunks: int = 1, resume: bool = False,
+              store_positions: bool = False) -> dict:
         """Build a full index at `path`; returns the manifest. `resume=True`
         continues a partial build (completed stages/chunks are skipped).
         `path` may be any Spark-reachable URI (file:, hdfs:, s3a:, ...) —
@@ -278,6 +279,18 @@ class Indexer:
             # exactness carrier across appends/deletes)
             avgdl = sum_dl / n_docs if n_docs else 0.0
             timings["corpus_stats"] = round(time.time() - tt, 2)
+
+            if store_positions:
+                # opt-in positional side artifact for phrase search
+                # (operators/phrase.py): one extra tokenize pass over
+                # the corpus + a term-range shuffle, written before the
+                # stage transition so resume semantics hold. Additive —
+                # absent by default, nothing else reads it.
+                tt = time.time()
+                from pdx_spark.operators.phrase import write_positions
+                write_positions(with_ids, self._p(path, "positions/base"))
+                manifest["positions_dirs"] = ["positions/base"]
+                timings["positions"] = round(time.time() - tt, 2)
 
             self._posts_cache = dp
 

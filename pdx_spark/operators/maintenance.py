@@ -234,6 +234,16 @@ class Maintainer:
         dq = write_directory(seg, self._p(dir_delta), self.fs)
         timings["directory"] = round(time.time() - tt, 2)
 
+        # 4b) positional delta (only for positions-enabled indexes):
+        # same O(delta) discipline, merged at read by phrase_topk
+        pos_delta = None
+        if m.get("positions_dirs"):
+            tt = time.time()
+            from pdx_spark.operators.phrase import write_positions
+            pos_delta = f"positions_delta-{gen}"
+            write_positions(with_ids, self._p(pos_delta))
+            timings["positions"] = round(time.time() - tt, 2)
+
         dp.unpersist()
         seg.unpersist()
 
@@ -243,6 +253,8 @@ class Maintainer:
         m.setdefault("ts_deltas", []).append(ts_delta)
         m.setdefault("dir_deltas", []).append(dir_delta)
         m.setdefault("dir_quant", {})[dir_delta] = dq
+        if pos_delta is not None:
+            m["positions_dirs"].append(pos_delta)
         m["n_docs"], m["sum_dl"], m["avgdl"] = n_docs, sum_dl, avgdl
         m["next_doc_id"] = next_id + n_new
         m["seg_single_rg"] = bool(m.get("seg_single_rg", False) and single_rg)
@@ -581,12 +593,34 @@ class Maintainer:
         doomed += [m.get("ts_base", "term_stats"),
                    m.get("dir_base", "directory")]
 
+        # positional artifact (phrase search): fold base + deltas into
+        # one gen-named dir, dropping tombstoned docs. Correctness never
+        # depends on this (phrase_topk inner-joins docs(), which no
+        # longer contains the deleted ids) — this is byte hygiene, the
+        # same fold discipline as term_stats/directory.
+        pos_new = None
+        if m.get("positions_dirs"):
+            from pdx_spark.operators.phrase import (POSITIONS_SCHEMA,
+                                                    write_positions_rows)
+            pos = None
+            for d in m["positions_dirs"]:
+                part = self.spark.read.schema(POSITIONS_SCHEMA).parquet(
+                    self._p(d))
+                pos = part if pos is None else pos.unionByName(part)
+            if tomb is not None:
+                pos = pos.join(tomb.select("doc_id"), "doc_id", "left_anti")
+            pos_new = f"positions-{gen}"
+            write_positions_rows(pos, self._p(pos_new))
+            doomed += list(m["positions_dirs"]) + ["positions"]
+
         m.update(segment_dirs=[base], deltas=[], ts_deltas=[],
                  dir_deltas=[], docs_dirs=[docs_dir], seg_excludes={},
                  tombstones=0, dead_docs=0, dir_quant={dir_base: dq},
                  n_docs=n_docs, sum_dl=sum_dl, avgdl=avgdl,
                  seg_single_rg=bool(single_rg),
                  ts_base=ts_base, dir_base=dir_base)
+        if pos_new is not None:
+            m["positions_dirs"] = [pos_new]
         m.pop("tomb_dir", None)
         m.pop("dead_dir", None)
         m["lineage"].append({"stage": "compact",
