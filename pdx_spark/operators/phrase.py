@@ -29,21 +29,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdx_spark.functions.bm25 import idf_col, tfnorm_col
-from pdx_spark.functions.tokenize import tokenize_py, tokens_col
+from pdx_spark.functions.tokenize import tokenize_py
 
 POSITIONS_SCHEMA = "term string, doc_id long, pos array<int>"
 
 
 def positions_df(with_ids: DataFrame) -> DataFrame:
     """(term, doc_id, pos array<int>) from a frame carrying (doc_id,
-    text). Pure JVM: posexplode -> groupBy collect (bounded per key by
-    the turn length) -> sorted offsets."""
-    toks = with_ids.select(
-        "doc_id",
-        F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"))
-    return (toks.groupBy("term", "doc_id")
-            .agg(F.sort_array(F.collect_list(F.col("pos").cast("int")))
-                 .alias("pos")))
+    text). Same discipline as corpus.doc_postings: a term's positions
+    within a doc are a PER-DOCUMENT quantity, so they are grouped
+    inside the Arrow batch (vectorized: factorize + one stable lexsort
+    per batch, no per-doc python loop) and the only cluster-wide data
+    movement left is the writer's term-range shuffle — not the
+    explode -> groupBy -> collect_list flat-row shuffle, which at
+    10^12 turns would move ~dl rows per doc just to regroup what each
+    batch already holds locally."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from pdx_spark.config import TOKEN_PATTERN
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = pdf["text"].fillna("").str.lower() \
+                .str.findall(TOKEN_PATTERN)
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=n)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            flat = pd.Series(
+                list(itertools.chain.from_iterable(toks)), dtype=object)
+            codes, uniq = pd.factorize(flat, sort=True)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            # position of each token within its doc: global arange minus
+            # each doc's start offset
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts, lens)).astype(np.int32)
+            # stable sort by (doc, term-code) keeps positions ascending
+            # within each (doc, term) run
+            order = np.lexsort((pos, codes, doc_idx))
+            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+            change = np.nonzero((d_s[1:] != d_s[:-1])
+                                | (c_s[1:] != c_s[:-1]))[0] + 1
+            run_starts = np.concatenate([[0], change])
+            uniq_arr = np.asarray(uniq, dtype=object)
+            yield pd.DataFrame({
+                "term": uniq_arr[c_s[run_starts]],
+                "doc_id": doc_ids[d_s[run_starts]],
+                "pos": np.split(p_s, change),
+            })
+
+    return (with_ids.select("doc_id", "text")
+            .mapInPandas(fn, schema=POSITIONS_SCHEMA))
 
 
 def write_positions_rows(df: DataFrame, out_path: str,
