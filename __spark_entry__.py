@@ -734,6 +734,24 @@ def q_transcripts_bm25_msm(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+TRANS_PREFIX = "w012"
+
+
+def q_transcripts_prefix(spark, sf_dir):
+    """Prefix/wildcard query: expand the prefix against the term-sorted
+    vocabulary (pyarrow range read on term_stats), score the expansion
+    as a BM25 OR — Lucene's scoring-BooleanQuery rewrite. Oracle derives
+    the same term set with LIKE over the tokenized corpus."""
+    s = _transcripts_searcher(spark)
+    terms = s.expand_prefix(TRANS_PREFIX, cap=64)
+    res = s.search_batch([(0, " ".join(terms), 10)],
+                         two_phase_min_shards=2, force_two_phase=True)
+    keys = s.docs().select("doc_id", "conv_id", "turn_idx")
+    return (res.join(keys, "doc_id")
+            .select("conv_id", "turn_idx",
+                    F.round("score", 4).alias("score")))
+
+
 def q_transcripts_conv_rank(spark, sf_dir):
     """Conversation-level retrieval: rank CONVERSATIONS by their best-
     matching turn (max-aggregation over turn BM25). Exact by coverage:
@@ -831,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25_and": q_transcripts_bm25_and,
         "transcripts_bm25_msm": q_transcripts_bm25_msm,
         "transcripts_phrase": q_transcripts_phrase,
+        "transcripts_prefix": q_transcripts_prefix,
         "transcripts_roundtrip": q_transcripts_roundtrip,
         "block_layout": q_block_layout,
     }
@@ -1052,6 +1071,18 @@ ORDER BY best DESC, conv_id ASC LIMIT {k}
 """
 
 
+def _bm25_trans_prefix_sql(prefix: str, k: int) -> str:
+    """Prefix twin of q_transcripts_prefix: qterms derives from the
+    corpus vocabulary with LIKE instead of a VALUES list; scoring is the
+    same BM25 OR over the expansion."""
+    base = _bm25_trans_sql(["zzplaceholderzz"], k)
+    old = "qterms(term) AS (VALUES ('zzplaceholderzz'))"
+    assert old in base
+    return base.replace(old, (
+        "qterms AS (SELECT DISTINCT u.t AS term "
+        f"FROM corpus, unnest(toks) AS u(t) WHERE u.t LIKE '{prefix}%')"))
+
+
 def _phrase_trans_sql(phrase: str, k: int) -> str:
     """Phrase twin of q_transcripts_phrase: phrase tf = count of start
     offsets where the token array carries the phrase contiguously;
@@ -1172,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_bm25_msm": _bm25_trans_and_sql(
             TRANS_QUERY_3.split(), 10, min_match=2),
         "transcripts_phrase": _phrase_trans_sql(TRANS_PHRASE, 10),
+        "transcripts_prefix": _bm25_trans_prefix_sql(TRANS_PREFIX, 10),
         "transcripts_filtered": _bm25_trans_sql(
             ["w0001", "w0050"], 10, where="role = 'assistant'"),
         "transcripts_roundtrip": f"""

@@ -1263,6 +1263,47 @@ class Searcher:
                     t, (np.empty(0, dtype=np.int64), np.empty(0)))
         return {t: self._plan_cache[t] for t in terms}
 
+    def expand_prefix(self, prefix: str, cap: int = 64) -> list[str]:
+        """Vocabulary terms starting with `prefix`, for prefix/wildcard
+        queries (`search_batch([(0, " ".join(terms), k)])` then scores
+        the expansion as a BM25 OR — Lucene's scoring-BooleanQuery
+        rewrite). term_stats is written term-sorted, so on a local index
+        the expansion is a pyarrow RANGE read ([prefix, prefix+1) in
+        byte order) pruned by row-group stats — a metadata lookup, not a
+        vocabulary scan; remote indexes use the Spark merged view with
+        the same range predicate. Raises if the expansion exceeds `cap`
+        (an unanchored prefix on a web vocabulary is a user error, not
+        a silent 10^6-term query)."""
+        if not prefix or not (prefix.isascii() and prefix.isalnum()):
+            raise ValueError(f"prefix must be a token prefix: {prefix!r}")
+        prefix = prefix.lower()
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        dirs = [self.manifest.get("ts_base", "term_stats")] \
+            + self.manifest.get("ts_deltas", [])
+        terms: set[str] = set()
+        if self.fs.is_local:
+            import pyarrow.dataset as ds
+            for d in dirs:
+                dset = ds.dataset(self.fs.join(self.path, d),
+                                  format="parquet")
+                tab = dset.to_table(
+                    columns=["term"],
+                    filter=(ds.field("term") >= prefix)
+                    & (ds.field("term") < hi))
+                terms.update(tab["term"].to_pylist())
+                if len(terms) > cap:
+                    break
+        else:
+            rows = (self.term_stats()
+                    .filter((F.col("term") >= prefix) & (F.col("term") < hi))
+                    .select("term").limit(cap + 1).collect())
+            terms = {r["term"] for r in rows}
+        if len(terms) > cap:
+            raise ValueError(
+                f"prefix {prefix!r} expands to > {cap} terms; "
+                f"tighten the prefix or raise cap")
+        return sorted(terms)
+
     def _idf_lookup(self, terms: list[str]) -> dict[str, float]:
         """term -> idf for the query terms, from term_stats (base +
         deltas). Driver-cached per Searcher (N is load-time fixed, so idf

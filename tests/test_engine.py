@@ -279,3 +279,22 @@ def test_min_should_match_vs_oracle(searcher, tiny_oracle):
     # m beyond every query's term count -> empty plan, empty frame
     res = searcher.search_batch(msm_queries, min_should_match=9)
     assert res.count() == 0
+
+
+def test_prefix_expansion_vs_oracle(searcher, tiny_oracle):
+    """expand_prefix = sorted vocabulary range read; searching the
+    expansion scores the prefix as a BM25 OR, matching the oracle over
+    the same term set."""
+    got = searcher.expand_prefix("w012", cap=64)
+    want_terms = sorted(t for t in tiny_oracle.df if t.startswith("w012"))
+    assert got == want_terms and len(got) >= 5
+    want = tiny_oracle.topk(" ".join(got), 10)
+    assert_rank_identical(searcher.search(" ".join(got), k=10), want,
+                          "prefix")
+    # cap and input validation
+    with pytest.raises(ValueError, match="expands"):
+        searcher.expand_prefix("w", cap=8)
+    with pytest.raises(ValueError, match="token prefix"):
+        searcher.expand_prefix("w0*")
+    # absent prefix -> empty expansion
+    assert searcher.expand_prefix("zzznope") == []
