@@ -95,6 +95,13 @@ def test_phrase_vs_oracle(spark, pos_index, texts):
                  phrase_oracle(texts, rev, 10), "reversed")
     # absent phrase -> empty; single term degenerates to that term's df
     assert run(spark, pos_index, "zzunknown zzalsounknown") == []
+    # repeated token in the phrase: the same positions leg joins twice
+    # with different shifts — still exact ("t t" matches only doubled
+    # occurrences)
+    t = _pick_phrase(texts, 1)
+    doubled = f"{t} {t}"
+    assert_match(run(spark, pos_index, doubled),
+                 phrase_oracle(texts, doubled, 10), "doubled")
     one = _pick_phrase(texts, 1)
     assert_match(run(spark, pos_index, one),
                  phrase_oracle(texts, one, 10), "single-term")
