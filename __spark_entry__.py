@@ -582,7 +582,7 @@ def q_transcripts_bm25(spark, sf_dir):
     s = _transcripts_searcher(spark)
     res = s.search_batch([(0, TRANS_QUERY, 10)], two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (res.join(keys, "doc_id")
+    return (F.broadcast(res).join(keys, "doc_id")
             .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))
 
 
@@ -592,7 +592,7 @@ def q_transcripts_filtered(spark, sf_dir):
                          predicate="role = 'assistant'",
                          two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (res.join(keys, "doc_id")
+    return (F.broadcast(res).join(keys, "doc_id")
             .select("conv_id", "turn_idx", F.round("score", 4).alias("score")))
 
 
@@ -627,7 +627,7 @@ def q_transcripts_role_boosted(spark, sf_dir):
     top = (allp.withColumn("_rn", F.row_number().over(win))
            .filter(F.col("_rn") <= 10).drop("_rn"))
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (top.join(keys, "doc_id")
+    return (F.broadcast(top).join(keys, "doc_id")
             .select("conv_id", "turn_idx",
                     F.round("wscore", 4).alias("score")))
 
@@ -649,8 +649,10 @@ def q_transcripts_snippets(spark, sf_dir):
     src = (spark.read.schema(TRANSCRIPTS)
            .parquet(_transcripts_fixture_path())
            .select("conv_id", "turn_idx", "text"))
-    hits = (res.join(keys, "doc_id")
-            .join(src, ["conv_id", "turn_idx"]))
+    small = F.broadcast(res).join(keys, "doc_id")
+    # big source streams, tiny hit set broadcasts (at 10^12 turns the
+    # source side must never shuffle)
+    hits = src.join(F.broadcast(small), ["conv_id", "turn_idx"])
     terms = TRANS_QUERY.split()
     pos = F.lit(1)
     for t in reversed(terms):  # first term present, in query order
@@ -673,7 +675,7 @@ def q_transcripts_bm25_and(spark, sf_dir):
     res = s.search_batch([(0, TRANS_QUERY, 10)], require_all_terms=True,
                          two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (res.join(keys, "doc_id")
+    return (F.broadcast(res).join(keys, "doc_id")
             .select("conv_id", "turn_idx",
                     F.round("score", 4).alias("score")))
 
@@ -716,7 +718,7 @@ def q_transcripts_phrase(spark, sf_dir):
     s = _transcripts_searcher_pos(spark)
     res = phrase_topk(s, TRANS_PHRASE, k=10)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (res.join(keys, "doc_id")
+    return (F.broadcast(res).join(keys, "doc_id")
             .select("conv_id", "turn_idx",
                     F.round("score", 4).alias("score")))
 
@@ -729,7 +731,7 @@ def q_transcripts_bm25_msm(spark, sf_dir):
     res = s.search_batch([(0, TRANS_QUERY_3, 10)], min_should_match=2,
                          two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (res.join(keys, "doc_id")
+    return (F.broadcast(res).join(keys, "doc_id")
             .select("conv_id", "turn_idx",
                     F.round("score", 4).alias("score")))
 
@@ -747,7 +749,7 @@ def q_transcripts_prefix(spark, sf_dir):
     res = s.search_batch([(0, " ".join(terms), 10)],
                          two_phase_min_shards=2, force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id", "turn_idx")
-    return (res.join(keys, "doc_id")
+    return (F.broadcast(res).join(keys, "doc_id")
             .select("conv_id", "turn_idx",
                     F.round("score", 4).alias("score")))
 
@@ -765,7 +767,7 @@ def q_transcripts_conv_rank(spark, sf_dir):
     res = s.search_batch([(0, TRANS_QUERY, 100)], two_phase_min_shards=2,
                          force_two_phase=True)
     keys = s.docs().select("doc_id", "conv_id")
-    conv = (res.join(keys, "doc_id")
+    conv = (F.broadcast(res).join(keys, "doc_id")
             .groupBy("conv_id").agg(F.max("score").alias("best")))
     return (conv.orderBy(F.desc("best"), F.asc("conv_id")).limit(10)
             .select("conv_id", F.round("best", 4).alias("score")))
