@@ -64,23 +64,35 @@ def write_directory(seg: DataFrame, final: str,
 
 
 def write_directory_rows(rows: DataFrame, final: str,
-                         fs: IndexFS | None = None) -> dict:
+                         fs: IndexFS | None = None, *,
+                         cached: bool = False,
+                         bounds: tuple | None = None) -> dict:
     """Quantize + atomically write pre-aggregated directory rows
     (term, shard, n_blocks, n_postings, max_tf, min_dl — the bound
     columns may be int or already-dequantized doubles; ceil/floor
-    quantization keeps either admissible). Returns the affine params."""
+    quantization keeps either admissible). Returns the affine params.
+    cached=True: the caller already persisted+materialized an ancestor
+    frame, so the double pass here (params agg, then write) is cheap —
+    skip the redundant second persist. `bounds` short-circuits the
+    params agg with a precomputed (tf_lo, tf_hi, dl_lo, dl_hi) tuple
+    (None values = empty set), saving one Spark job when the caller's
+    cache-materializing action already produced the extrema."""
     from pdx_spark.functions.quantize import (quantize_down_col,
                                               quantize_up_col)
-    rows = rows.persist()
-    pr = rows.agg(F.min("max_tf").alias("tf_lo"), F.max("max_tf").alias("tf_hi"),
-                  F.min("min_dl").alias("dl_lo"), F.max("min_dl").alias("dl_hi")
-                  ).collect()[0]
-    if pr["tf_hi"] is None:  # empty segment set
+    if not cached:
+        rows = rows.persist()
+    if bounds is None:
+        pr = rows.agg(F.min("max_tf").alias("tf_lo"),
+                      F.max("max_tf").alias("tf_hi"),
+                      F.min("min_dl").alias("dl_lo"),
+                      F.max("min_dl").alias("dl_hi")).collect()[0]
+        bounds = (pr["tf_lo"], pr["tf_hi"], pr["dl_lo"], pr["dl_hi"])
+    if bounds[1] is None:  # empty segment set
         params = {"tf_base": 0.0, "tf_scale": 0.0,
                   "dl_base": 0.0, "dl_scale": 0.0}
     else:
-        tf_lo, tf_hi = float(pr["tf_lo"]), float(pr["tf_hi"])
-        dl_lo, dl_hi = float(pr["dl_lo"]), float(pr["dl_hi"])
+        tf_lo, tf_hi = float(bounds[0]), float(bounds[1])
+        dl_lo, dl_hi = float(bounds[2]), float(bounds[3])
         params = {
             "tf_base": tf_lo,
             "tf_scale": 255.0 / (tf_hi - tf_lo) if tf_hi > tf_lo else 0.0,
@@ -101,7 +113,8 @@ def write_directory_rows(rows: DataFrame, final: str,
     (q.repartitionByRange("term", "shard")
      .sortWithinPartitions("term", "shard")
      .write.mode("overwrite").parquet(tmp))
-    rows.unpersist()
+    if not cached:
+        rows.unpersist()
     fs.rename(tmp, final)
     return params
 
@@ -239,6 +252,8 @@ class Indexer:
 
         # ---- stage A: docs + stats (ONE pass over the corpus text) ----
         docs_path = self._p(path, "docs")
+        docs_future = pool = None
+        flush_stage_a = None  # set when stage A ran this call
         if manifest["stage"] == "init":
             timings = {}
             tt = time.time()
@@ -262,23 +277,16 @@ class Indexer:
                 dp = self.spark.read.parquet(self._p(path, "postings_tmp"))
             else:
                 dp = dp.persist()
-            timings["doc_postings"] = round(time.time() - tt, 2)
-
-            tt = time.time()
-            docs = dp.select(*[f.name for f in schemas.DOCS.fields])
-            docs.write.mode("overwrite").parquet(docs_path)
-            timings["docs_write"] = round(time.time() - tt, 2)
-
-            tt = time.time()
-            docs = self.spark.read.schema(schemas.DOCS).parquet(docs_path)
-            srow = docs.agg(F.count("*").alias("n"),
-                            F.sum("dl").alias("s")).collect()[0]
+            # materialize the cache (or read the tmp parquet) through the
+            # SMALLEST action that also yields exact corpus stats: one
+            # count+sum agg. avgdl = exact-int sum / count, bit-identical
+            # to the incremental update Maintainer.append performs
+            # (sum_dl is the exactness carrier across appends/deletes).
+            srow = dp.agg(F.count("*").alias("n"),
+                          F.sum("dl").alias("s")).collect()[0]
             n_docs, sum_dl = int(srow["n"]), int(srow["s"] or 0)
-            # avgdl = exact-int sum / count: bit-identical to the
-            # incremental update Maintainer.append performs (sum_dl is the
-            # exactness carrier across appends/deletes)
             avgdl = sum_dl / n_docs if n_docs else 0.0
-            timings["corpus_stats"] = round(time.time() - tt, 2)
+            timings["tokenize+stats"] = round(time.time() - tt, 2)
 
             if store_positions:
                 # opt-in positional side artifact for phrase search
@@ -292,24 +300,46 @@ class Indexer:
                 manifest["positions_dirs"] = ["positions/base"]
                 timings["positions"] = round(time.time() - tt, 2)
 
+            # docs side table: a pure projection of the cached dp — an
+            # independent job, so it runs in a driver thread OVERLAPPED
+            # with the stage-B encode (guide: concurrent independent
+            # jobs back-fill the tail). All manifest writes stay in THIS
+            # thread: the stage-A commit is deferred until the docs
+            # write has joined (flush_stage_a below), so a crash while
+            # both run leaves stage="init" and the build restarts
+            # cleanly — resume semantics unchanged.
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=2)
+
+            def _write_docs():
+                td = time.time()
+                self.spark.sparkContext.setJobDescription("build: docs write")
+                docs = dp.select(*[f.name for f in schemas.DOCS.fields])
+                docs.write.mode("overwrite").parquet(docs_path)
+                return round(time.time() - td, 2)
+
+            docs_future = pool.submit(_write_docs)
             self._posts_cache = dp
 
-            # next_doc_id: the id-allocation high-water mark appends read
-            # instead of scanning every docs dir for max(doc_id)
-            # (ts_done: term_stats now writes inside stage B, overlapped
-            # with the encode — see below)
-            manifest.update(stage="segments", n_docs=n_docs, avgdl=avgdl,
-                            sum_dl=sum_dl, next_doc_id=n_docs,
-                            ts_done=False)
-            manifest["lineage"].append(
-                {"stage": "docs+stats", "rows": n_docs,
-                 "sec": round(time.time() - t0, 2), "timings": timings})
-            _write_manifest(path, manifest, fs=fs)
-
-        n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+            def flush_stage_a():
+                # join the docs write, then commit stage A — called
+                # before the FIRST manifest write that could reference
+                # stage-A artifacts. next_doc_id: the id-allocation
+                # high-water mark appends read instead of scanning every
+                # docs dir for max(doc_id).
+                timings["docs_write"] = docs_future.result()
+                manifest.update(stage="segments", n_docs=n_docs,
+                                avgdl=avgdl, sum_dl=sum_dl,
+                                next_doc_id=n_docs, ts_done=False)
+                manifest["lineage"].append(
+                    {"stage": "docs+stats", "rows": n_docs,
+                     "sec": round(time.time() - t0, 2), "timings": timings})
+                _write_manifest(path, manifest, fs=fs)
+        else:
+            n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
 
         # ---- stage B: blocked segments, chunked + resumable ----
-        if manifest["stage"] == "segments":
+        if manifest["stage"] == "segments" or flush_stage_a is not None:
             posts = getattr(self, "_posts_cache", None)
             if posts is None:
                 if fs.exists(self._p(path, "postings_tmp")):
@@ -372,10 +402,16 @@ class Indexer:
                     .partitionBy("fgroup")
                     .mode("overwrite").parquet(tmp))
                 fs.rename(tmp, final)
+                if flush_stage_a is not None:  # docs ran ∥ the encode
+                    flush_stage_a()
+                    flush_stage_a = None
                 manifest["chunks"][key] = {
                     "status": "done", **_chunk_stats(self.spark, fs, final),
                     "sec": round(time.time() - tc, 2)}
                 _write_manifest(path, manifest, fs=fs)
+            if flush_stage_a is not None:  # defensive: no chunk ran
+                flush_stage_a()
+                flush_stage_a = None
             manifest["segment_dirs"] = ["segments/base"]
             # writer-side proof of the map-scan invariant (footer-only
             # walk); readers trust this flag instead of re-walking
@@ -412,10 +448,28 @@ class Indexer:
                          F.min("min_dl").cast("int").alias("min_dl"),
                          F.max("gmax").alias("gmax"))
                     .persist())
+            # materialize the shared partial agg ONCE (one scan of the
+            # compact segment metadata columns), then the two artifacts
+            # it feeds — term_stats and the directory — write from
+            # executor cache as CONCURRENT driver-thread jobs: they are
+            # independent, and sequentially each paid its own fixed job
+            # latency on top of the other's. Manifest writes stay in the
+            # main thread, after both joins. The materializing action IS
+            # the directory's quantization-params agg (one job serves
+            # both purposes).
+            pr = base.agg(F.min("max_tf").alias("tf_lo"),
+                          F.max("max_tf").alias("tf_hi"),
+                          F.min("min_dl").alias("dl_lo"),
+                          F.max("min_dl").alias("dl_hi")).collect()[0]
+            qbounds = (pr["tf_lo"], pr["tf_hi"], pr["dl_lo"], pr["dl_hi"])
             ts_timing: dict = {}
-            if not manifest.get("ts_done") \
-                    or not fs.exists(self._p(path, "term_stats")):
+            need_ts = (not manifest.get("ts_done")
+                       or not fs.exists(self._p(path, "term_stats")))
+
+            def _write_ts():
                 tt = time.time()
+                self.spark.sparkContext.setJobDescription(
+                    "build: term_stats write")
                 ts = (base.groupBy("term")
                       .agg(F.sum("n_postings").cast("long").alias("df"),
                            F.max("max_tf").cast("int").alias("max_tf"),
@@ -426,14 +480,28 @@ class Indexer:
                 if fs.exists(self._p(path, "term_stats")):
                     fs.delete(self._p(path, "term_stats"))
                 fs.rename(tmp_ts, self._p(path, "term_stats"))
-                ts_timing["term_stats"] = round(time.time() - tt, 2)
+                return round(time.time() - tt, 2)
+
+            def _write_dir():
+                self.spark.sparkContext.setJobDescription(
+                    "build: directory write")
+                return write_directory_rows(
+                    base.select("term", "shard", "n_blocks", "n_postings",
+                                "max_tf", "min_dl"),
+                    self._p(path, "directory"), fs, cached=True,
+                    bounds=qbounds)
+
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                pool = ThreadPoolExecutor(max_workers=2)
+            f_dir = pool.submit(_write_dir)
+            if need_ts:
+                ts_timing["term_stats"] = _write_ts()
+            params = f_dir.result()
+            if need_ts:
                 manifest["ts_done"] = True
                 manifest["lineage"].append(
                     {"stage": "term_stats", "timings": dict(ts_timing)})
-            params = write_directory_rows(
-                base.select("term", "shard", "n_blocks", "n_postings",
-                            "max_tf", "min_dl"),
-                self._p(path, "directory"), fs)
             base.unpersist()
             manifest.setdefault("dir_quant", {})["directory"] = params
             manifest["lineage"].append(
@@ -449,4 +517,6 @@ class Indexer:
                 {"stage": "build_complete", "sec": round(time.time() - t0, 2)})
             _write_manifest(path, manifest, fs=fs)
 
+        if pool is not None:
+            pool.shutdown(wait=True)
         return manifest

@@ -192,47 +192,72 @@ class Maintainer:
         avgdl = sum_dl / n_docs if n_docs else 0.0
         timings["tokenize+stats"] = round(time.time() - tt, 2)
 
-        # 1) docs delta — staged; unreferenced until the manifest commit
-        tt = time.time()
+        # 1-4) the four delta artifacts are INDEPENDENT given the cached
+        # dp (the directory delta additionally depends on the delta
+        # segment): run them as concurrent driver-thread jobs instead of
+        # serially paying four jobs' fixed latency on a delta-sized
+        # batch (append wall time is job-count-bound, not data-bound).
+        # Staging discipline unchanged: every artifact still lands via
+        # tmp -> rename and is unreferenced until the single manifest
+        # commit below, which happens in this thread after all joins.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _docs_job():
+            tt = time.time()
+            self.spark.sparkContext.setJobDescription("append: docs delta")
+            new_docs = dp.select(*[f.name for f in schemas.DOCS.fields])
+            _atomic_write(new_docs, self._p(docs_delta), fs=self.fs)
+            return round(time.time() - tt, 2)
+
+        def _seg_dir_job():
+            # delta segment: blocks store (tf, dl); pruning bounds are
+            # recomputed from (max_tf, min_dl) at query time, so avgdl
+            # drift cannot over-prune (see searcher._shard_scorer). The
+            # encoded frame is cached so the directory delta reads it
+            # from memory instead of decoding parquet again. The
+            # directory delta is quantized with its OWN affine params —
+            # delta values can exceed the base range.
+            tt = time.time()
+            self.spark.sparkContext.setJobDescription("append: delta segment")
+            posts = (dp.select("doc_id", "dl", "terms", "tfs")
+                     .withColumn("shard", self.cfg.shard_of_expr()))
+            enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
+            seg = (posts.groupBy("shard")
+                   .applyInPandas(enc, schema=schemas.SEGMENTS).persist())
+            _atomic_write(seg, self._p(delta_name),
+                          ["term", "shard", "block_id"],
+                          fs=self.fs, segments=True)
+            rg = verify_single_rowgroup(self.fs, delta_name, root=self.path)
+            t_seg = round(time.time() - tt, 2)
+            tt = time.time()
+            self.spark.sparkContext.setJobDescription("append: directory delta")
+            dq_ = write_directory(seg, self._p(dir_delta), self.fs)
+            seg.unpersist()
+            return rg, dq_, t_seg, round(time.time() - tt, 2)
+
+        def _ts_job():
+            tt = time.time()
+            self.spark.sparkContext.setJobDescription("append: term_stats delta")
+            delta_ts = C.term_stats_from_doc_postings(
+                dp.select("doc_id", "dl", "terms", "tfs"), avgdl,
+                self.params) \
+                .select("term", F.col("df").cast("long").alias("df"),
+                        F.col("max_tf").cast("int").alias("max_tf"), "gmax")
+            _atomic_write(delta_ts, self._p(ts_delta), ["term"], fs=self.fs)
+            return round(time.time() - tt, 2)
+
         docs_delta = f"docs_delta-{gen}"
-        new_docs = dp.select(*[f.name for f in schemas.DOCS.fields])
-        _atomic_write(new_docs, self._p(docs_delta), fs=self.fs)
-        timings["docs"] = round(time.time() - tt, 2)
-
-        # 2) delta segment: blocks store (tf, dl); pruning bounds are
-        # recomputed from (max_tf, min_dl) at query time, so avgdl drift
-        # cannot over-prune (see searcher._shard_scorer). The encoded
-        # frame is cached so the directory delta (4) reads it from
-        # memory instead of decoding parquet again.
-        tt = time.time()
         delta_name = f"deltas/delta-{gen}"
-        posts = (dp.select("doc_id", "dl", "terms", "tfs")
-                 .withColumn("shard", self.cfg.shard_of_expr()))
-        enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
-        seg = (posts.groupBy("shard")
-               .applyInPandas(enc, schema=schemas.SEGMENTS).persist())
-        _atomic_write(seg, self._p(delta_name), ["term", "shard", "block_id"],
-                      fs=self.fs, segments=True)
-        single_rg = verify_single_rowgroup(self.fs, delta_name,
-                                           root=self.path)
-        timings["segments"] = round(time.time() - tt, 2)
-
-        # 3) per-term stats DELTA (merged at read — base never rewritten)
-        tt = time.time()
         ts_delta = f"term_stats_delta-{gen}"
-        delta_ts = C.term_stats_from_doc_postings(
-            dp.select("doc_id", "dl", "terms", "tfs"), avgdl, self.params) \
-            .select("term", F.col("df").cast("long").alias("df"),
-                    F.col("max_tf").cast("int").alias("max_tf"), "gmax")
-        _atomic_write(delta_ts, self._p(ts_delta), ["term"], fs=self.fs)
-        timings["term_stats"] = round(time.time() - tt, 2)
-
-        # 4) directory DELTA from the cached delta segment (u8-quantized
-        # with its OWN affine params — delta values can exceed base range)
-        tt = time.time()
         dir_delta = f"directory_delta-{gen}"
-        dq = write_directory(seg, self._p(dir_delta), self.fs)
-        timings["directory"] = round(time.time() - tt, 2)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_docs = pool.submit(_docs_job)
+            f_seg = pool.submit(_seg_dir_job)
+            f_ts = pool.submit(_ts_job)
+            timings["docs"] = f_docs.result()
+            single_rg, dq, timings["segments"], timings["directory"] = \
+                f_seg.result()
+            timings["term_stats"] = f_ts.result()
 
         # 4b) positional delta (only for positions-enabled indexes):
         # same O(delta) discipline, merged at read by phrase_topk
@@ -245,7 +270,6 @@ class Maintainer:
             timings["positions"] = round(time.time() - tt, 2)
 
         dp.unpersist()
-        seg.unpersist()
 
         # 5) manifest commit — the single atomic visibility point
         m.setdefault("deltas", []).append(delta_name)
