@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pdx_spark import schemas
 from pdx_spark.config import BM25Params, IndexConfig, manifest_params
 from pdx_spark.fs import IndexFS, LocalFS, index_fs, verify_single_rowgroup
-from pdx_spark.functions.blocks import encode_blocks
+from pdx_spark.functions.blocks import encode_runs
 from pdx_spark.operators import corpus as C
 
 MANIFEST = "manifest.json"
@@ -152,9 +152,31 @@ def read_manifest(path: str, fs: IndexFS | None = None) -> dict:
     return json.loads(fs.read_text(IndexFS.join(path, MANIFEST)))
 
 
+def _encode_sorted(doc_ids, tfs, dls, terms_c, uniques, shard,
+                   cfg: IndexConfig, avgdl: float,
+                   params: BM25Params) -> pd.DataFrame:
+    """(term-code, doc_id)-sorted postings of ONE shard -> SEGMENTS
+    frame, via the vectorized whole-group encoder (blocks.encode_runs —
+    byte-identical to per-run encode_blocks, which the block tests pin)."""
+    if len(terms_c) == 0:
+        return pd.DataFrame(columns=[f.name for f in
+                                     schemas.SEGMENTS.fields])
+    change = np.nonzero(terms_c[1:] != terms_c[:-1])[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [len(terms_c)]]).astype(np.int64)
+    term_of_run = np.asarray(uniques, dtype=object)[terms_c[starts]]
+    cols = encode_runs(doc_ids, tfs, dls, starts, ends, term_of_run,
+                       shard, cfg.block_size, avgdl, params)
+    return pd.DataFrame(cols, columns=[f.name for f in
+                                       schemas.SEGMENTS.fields])
+
+
 def _segment_encoder(cfg: IndexConfig, avgdl: float, params: BM25Params):
     """applyInPandas body: one shard's postings -> SEGMENTS rows."""
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in
+                                         schemas.SEGMENTS.fields])
         # group by term without a string sort: factorize (O(n) hash) +
         # integer lexsort — pandas string sort_values was ~half the
         # encode cost on Zipf term distributions
@@ -165,15 +187,8 @@ def _segment_encoder(cfg: IndexConfig, avgdl: float, params: BM25Params):
         tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
         dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
         shard = int(pdf["shard"].iloc[0])
-        change = np.nonzero(terms_c[1:] != terms_c[:-1])[0] + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(terms_c)]])
-        rows: list[dict] = []
-        for s, e in zip(starts, ends):
-            rows.extend(encode_blocks(doc_ids[s:e], tfs[s:e], dls[s:e],
-                                      shard, str(uniques[terms_c[s]]),
-                                      cfg.block_size, avgdl, params))
-        return pd.DataFrame(rows, columns=[f.name for f in schemas.SEGMENTS.fields])
+        return _encode_sorted(doc_ids, tfs, dls, terms_c, uniques, shard,
+                              cfg, avgdl, params)
     return fn
 
 
@@ -199,15 +214,8 @@ def _segment_encoder_docs(cfg: IndexConfig, avgdl: float, params: BM25Params):
         order = np.lexsort((doc_ids, codes))
         terms_c = codes[order]
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        change = np.nonzero(terms_c[1:] != terms_c[:-1])[0] + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(terms_c)]])
-        rows: list[dict] = []
-        for s, e in zip(starts, ends):
-            rows.extend(encode_blocks(doc_ids[s:e], tfs[s:e], dls[s:e],
-                                      shard, str(uniques[terms_c[s]]),
-                                      cfg.block_size, avgdl, params))
-        return pd.DataFrame(rows, columns=[f.name for f in schemas.SEGMENTS.fields])
+        return _encode_sorted(doc_ids, tfs, dls, terms_c, uniques, shard,
+                              cfg, avgdl, params)
     return fn
 
 

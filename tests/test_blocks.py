@@ -139,3 +139,61 @@ def test_shard_scorer_property(case):
         # no doc with true score > θ within the top-k may be pruned
         must_have = [d for d, s in ranked[:k] if s > theta]
         assert set(must_have) <= set(got), (must_have, got, theta)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31), st.integers(0, 10_000))
+def test_encode_runs_matches_encode_blocks(seed, extra):
+    """The vectorized whole-group encoder (encode_runs) must be
+    BYTE-identical to the per-run reference (encode_blocks) — same
+    metadata, same widths, same packed payloads — across Zipf-ish run
+    length mixes, huge deltas/dls, and partial unaligned blocks."""
+    from pdx_spark.config import BM25Params
+    from pdx_spark.functions.blocks import encode_runs
+
+    rng = np.random.default_rng(seed)
+    params, avgdl, bsz = BM25Params(), 37.5, 16
+    n_runs = int(rng.integers(1, 40))
+    runs = []
+    for i in range(n_runs):
+        rl = int(np.clip(rng.zipf(1.4), 1, 200))
+        ids = np.cumsum(rng.integers(1, 1 + extra + int(rng.integers(1, 10**6)), rl))
+        tfs = rng.integers(1, 1000, rl)
+        dls = rng.integers(1, 10**7, rl)
+        runs.append((ids.astype(np.int64), tfs.astype(np.int64),
+                     dls.astype(np.int64)))
+
+    ref = []
+    for i, (ids, tfs, dls) in enumerate(runs):
+        ref.extend(encode_blocks(ids, tfs, dls, 5, f"t{i}", bsz, avgdl,
+                                 params))
+    lens = np.array([len(r[0]) for r in runs], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = (ends - lens).astype(np.int64)
+    got = encode_runs(
+        np.concatenate([r[0] for r in runs]),
+        np.concatenate([r[1] for r in runs]),
+        np.concatenate([r[2] for r in runs]),
+        starts, ends,
+        np.array([f"t{i}" for i in range(n_runs)], dtype=object),
+        5, bsz, avgdl, params)
+    assert len(ref) == len(got["n"])
+    for i, r in enumerate(ref):
+        for k in ("term", "shard", "block_id", "n", "first_doc",
+                  "last_doc", "max_tf", "min_dl", "gmax", "ids_bw",
+                  "tfs_bw", "dls_bw", "ids", "tfs", "dls"):
+            v = got[k][i]
+            v = v.item() if hasattr(v, "item") else v
+            assert r[k] == v, (i, k, r[k], v)
+
+
+def test_encode_runs_empty_token_group():
+    """A group whose docs have zero tokens encodes to zero blocks."""
+    from pdx_spark.config import BM25Params, IndexConfig
+    from pdx_spark.operators.indexer import _encode_sorted
+
+    out = _encode_sorted(np.empty(0, np.int64), np.empty(0, np.int64),
+                         np.empty(0, np.int64), np.empty(0, np.int64),
+                         np.empty(0, object), 0, IndexConfig(), 10.0,
+                         BM25Params())
+    assert len(out) == 0
