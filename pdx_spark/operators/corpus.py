@@ -141,19 +141,26 @@ def doc_postings(with_ids: DataFrame,
     This is also the input_hint's mandated shape: tokenization as a
     vectorized Arrow UDF.
 
-    The per-batch body is fully vectorized (factorize + one np.unique
-    over (doc, term) keys — no per-document Python loop): terms come out
-    lexicographically sorted within each doc because factorize(sort=True)
-    makes numeric code order == string order, exactly matching the old
-    per-doc `sorted(Counter)` (and the DuckDB oracle's accumulation
-    order)."""
-    import itertools
-
+    The per-batch body is Arrow-native end to end (mapInArrow: pyarrow
+    lower/split/dictionary-encode in C++, one np.unique over (doc, term)
+    keys, ListArray assembly from offsets — no per-document Python loop
+    and no pandas object-string materialization, which was ~2.5x the
+    batch cost of the Arrow kernels): terms come out lexicographically
+    sorted within each doc because the dictionary codes are remapped to
+    the sorted-vocabulary rank (UTF-8 byte order == code-point order),
+    exactly matching the old per-doc `sorted(Counter)` (and the DuckDB
+    oracle's accumulation order). One tokenizer-equivalence subtlety,
+    pinned by tests/test_tokenize.py: U+0130 is the single Unicode
+    codepoint whose Python/JVM lowercase (full SpecialCasing: i +
+    combining dot) differs from Arrow's simple 1:1 mapping in a way
+    that changes [a-z0-9] tokens — it is literal-substituted before
+    utf8_lower (verified exhaustively over all printable codepoints)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql.types import StructType
 
-    from pdx_spark.config import TOKEN_PATTERN
+    from pdx_spark.config import TOKEN_SPLIT_PATTERN
 
     in_fields = {f.name: f for f in with_ids.schema.fields}
     out_schema = StructType(
@@ -162,40 +169,62 @@ def doc_postings(with_ids: DataFrame,
     extras = tuple(extra_cols)
 
     def fn(batches):
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            toks = pdf["text"].fillna("").str.lower().str.findall(TOKEN_PATTERN)
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
-            total = int(lens.sum())
-            out = {"doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
-                   "dl": pd.Series(lens.astype(np.int32))}
-            if total == 0:
-                out["terms"] = [[] for _ in range(n)]
-                out["tfs"] = [[] for _ in range(n)]
+            text = pc.fill_null(batch.column("text"), "")
+            text = pc.replace_substring(text, "İ", "i̇")
+            split = pc.split_pattern_regex(
+                pc.utf8_lower(text), TOKEN_SPLIT_PATTERN)
+            lens_raw = pc.list_value_length(split).to_numpy() \
+                .astype(np.int64)
+            flat = pc.list_flatten(split)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens_raw)
+            keep = pc.not_equal(flat, "")  # leading/trailing separators
+            if pc.sum(keep).as_py() != len(flat):
+                flat = flat.filter(keep)
+                doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+            if len(flat) == 0:
+                offsets = np.zeros(n + 1, np.int32)
+                lens = np.zeros(n, np.int64)
+                terms = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array([], pa.string()))
+                tfs = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array([], pa.int32()))
             else:
-                flat = pd.Series(
-                    list(itertools.chain.from_iterable(toks)), dtype=object)
-                # sort=True: codes are lexicographic ranks, so the numeric
-                # (doc, code) sort below yields sorted terms within docs
-                codes, uniq = pd.factorize(flat, sort=True)
-                doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-                key = doc_idx * len(uniq) + codes
+                lens = np.bincount(doc_idx, minlength=n)
+                denc = pc.dictionary_encode(flat)
+                codes = denc.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                vocab = denc.dictionary
+                nv = len(vocab)
+                sort_idx = pc.array_sort_indices(vocab).to_numpy() \
+                    .astype(np.int64)
+                rank = np.empty(nv, np.int64)
+                rank[sort_idx] = np.arange(nv)
+                key = doc_idx * nv + rank[codes]
                 ukey, tf = np.unique(key, return_counts=True)
-                pair_doc = ukey // len(uniq)
-                pair_code = ukey % len(uniq)
-                splits = np.cumsum(
-                    np.bincount(pair_doc, minlength=n))[:-1]
-                uniq_arr = np.asarray(uniq, dtype=object)
-                out["terms"] = np.split(uniq_arr[pair_code], splits)
-                out["tfs"] = np.split(tf.astype(np.int32), splits)
+                pair_doc = ukey // nv
+                pair_code = ukey % nv
+                offsets = np.concatenate(
+                    [[0], np.cumsum(np.bincount(pair_doc, minlength=n))]
+                ).astype(np.int32)
+                vocab_sorted = vocab.take(pa.array(sort_idx))
+                terms = pa.ListArray.from_arrays(
+                    pa.array(offsets), vocab_sorted.take(pa.array(pair_code)))
+                tfs = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(tf.astype(np.int32)))
+            cols = [batch.column("doc_id"),
+                    pa.array(lens.astype(np.int32)), terms, tfs]
+            names = ["doc_id", "dl", "terms", "tfs"]
             for c in extras:
-                out[c] = pdf[c].reset_index(drop=True)
-            yield pd.DataFrame(out)
+                cols.append(batch.column(c))
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     cols = ["doc_id", "text", *extras]
-    return with_ids.select(*cols).mapInPandas(fn, schema=out_schema)
+    return with_ids.select(*cols).mapInArrow(fn, schema=out_schema)
 
 
 def corpus_stats(docs: DataFrame) -> tuple[int, float]:

@@ -47,3 +47,31 @@ def test_fixture_corpus_parity(spark, tiny_df):
     arrow = tokenize_map_in_arrow(tiny_df).select("conv_id", "turn_idx", "tokens")
     diff = jvm.exceptAll(arrow)
     assert diff.count() == 0
+
+
+def test_doc_postings_equals_python(spark):
+    """doc_postings' Arrow-native body (utf8_lower + RE2 split +
+    dictionary ranks) must produce exactly sorted(Counter(tokenize_py))
+    per doc — including the U+0130 SpecialCasing edge ('İ' lowers to
+    'i' + combining dot in Python/JVM, splitting the token) and random
+    unicode near the ascii/caseful boundary."""
+    import random
+    from collections import Counter
+
+    from pdx_spark.operators.corpus import doc_postings
+
+    rng = random.Random(42)
+    alphabet = "aA1zZ9!İKßẞ Ωσé-_.̇K"
+    cases = list(CASES) + ["İstanbul İİ K(kelvin)", "İ1", "ßẞss"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string")
+    rows = doc_postings(df).orderBy("doc_id").collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        toks = tokenize_py(cases[r["doc_id"]])
+        want = sorted(Counter(toks).items())
+        got = list(zip(r["terms"], r["tfs"]))
+        assert got == want, (cases[r["doc_id"]], got, want)
+        assert r["dl"] == len(toks)
