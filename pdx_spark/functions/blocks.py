@@ -130,6 +130,108 @@ def _pack_streams(vals: np.ndarray, bw: np.ndarray, bn: np.ndarray,
     return out_bytes
 
 
+def _pack_streams_buf(vals: np.ndarray, bw: np.ndarray, bn: np.ndarray,
+                      bstart: np.ndarray):
+    """_pack_streams, but returning (data, blen): one contiguous uint8
+    buffer holding every block's packed payload in block order, plus
+    per-block byte lengths — ready to wrap as an Arrow BinaryArray with
+    zero per-block Python bytes objects. Payload bytes are identical to
+    _pack_streams / per-block pack()."""
+    blen = (bn * bw + 7) // 8
+    boff = np.cumsum(blen) - blen
+    data = np.zeros(int(blen.sum()), dtype=np.uint8)
+    for w in np.unique(bw):
+        w = int(w)
+        if w == 0:
+            continue
+        idx = np.nonzero(bw == w)[0]
+        nvals = bn[idx]
+        reps_off = np.concatenate([[0], np.cumsum(nvals)])[:-1]
+        inpos = np.arange(int(nvals.sum())) - np.repeat(reps_off, nvals)
+        vidx = bstart[idx].repeat(nvals) + inpos
+        v = vals[vidx].astype(np.uint64)
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        gblen = blen[idx]
+        gbase_bits = (np.cumsum(gblen) - gblen) * 8
+        vbase = np.repeat(gbase_bits, nvals) + inpos * w
+        out = np.zeros(int(gblen.sum()) * 8, dtype=np.uint8)
+        dst = vbase[:, None] + np.arange(w, dtype=np.int64)
+        out[dst.ravel()] = bits.ravel()
+        packed = np.packbits(out, bitorder="little")
+        # scatter the group's packed bytes to their block-order offsets
+        goff = np.cumsum(gblen) - gblen
+        j_of_src = np.repeat(np.arange(len(idx)), gblen)
+        dstb = np.repeat(boff[idx] - goff, gblen) \
+            + np.arange(len(packed), dtype=np.int64)
+        data[dstb] = packed
+    return data, blen
+
+
+def encode_runs_arrow(doc_ids: np.ndarray, tfs: np.ndarray,
+                      dls: np.ndarray, run_starts: np.ndarray,
+                      run_ends: np.ndarray, term_values,
+                      shard: int, block_size: int, avgdl: float,
+                      params: BM25Params):
+    """encode_runs, Arrow-native output: returns a pyarrow.RecordBatch
+    in SEGMENTS column order with the packed payloads wrapped as
+    BinaryArrays over one contiguous buffer per stream (no per-block
+    Python bytes). `term_values(run_of_block) -> pa.Array` supplies the
+    term column (callers map dictionary codes through a take)."""
+    import pyarrow as pa
+
+    B = block_size
+    doc_ids = doc_ids.astype(np.int64, copy=False)
+    tfs = tfs.astype(np.int64, copy=False)
+    dls = dls.astype(np.int64, copy=False)
+    rl = run_ends - run_starts
+    nb = -(-rl // B)
+    total_blocks = int(nb.sum())
+    run_of_block = np.repeat(np.arange(len(rl), dtype=np.int64), nb)
+    first_block_of_run = np.cumsum(nb) - nb
+    within = np.arange(total_blocks, dtype=np.int64) \
+        - first_block_of_run[run_of_block]
+    bstart = run_starts[run_of_block] + within * B
+    bend = np.minimum(bstart + B, run_ends[run_of_block])
+    bn = bend - bstart
+
+    g = tfnorm_np(tfs, dls, avgdl, params)
+    deltas = np.empty(len(doc_ids), dtype=np.int64)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[bstart] = 0
+    tfm1 = tfs - 1
+    ids_bw = _bit_length_np(np.maximum.reduceat(deltas, bstart))
+    tfs_bw = _bit_length_np(np.maximum.reduceat(tfm1, bstart))
+    dls_bw = _bit_length_np(np.maximum.reduceat(dls, bstart))
+
+    def _binary(vals, bw):
+        data, blen = _pack_streams_buf(vals, bw, bn, bstart)
+        offsets = np.zeros(total_blocks + 1, dtype=np.int32)
+        np.cumsum(blen, out=offsets[1:])
+        return pa.Array.from_buffers(
+            pa.binary(), total_blocks,
+            [None, pa.py_buffer(offsets), pa.py_buffer(data)])
+
+    return pa.RecordBatch.from_arrays([
+        term_values(run_of_block),
+        pa.array(np.full(total_blocks, shard, dtype=np.int64)),
+        pa.array(within.astype(np.int32)),
+        pa.array(bn.astype(np.int32)),
+        pa.array(doc_ids[bstart]),
+        pa.array(doc_ids[bend - 1]),
+        pa.array(np.maximum.reduceat(tfs, bstart).astype(np.int32)),
+        pa.array(np.minimum.reduceat(dls, bstart).astype(np.int32)),
+        pa.array(np.maximum.reduceat(g, bstart)),
+        pa.array(ids_bw.astype(np.int32)),
+        pa.array(tfs_bw.astype(np.int32)),
+        pa.array(dls_bw.astype(np.int32)),
+        _binary(deltas, ids_bw), _binary(tfm1, tfs_bw),
+        _binary(dls, dls_bw),
+    ], names=["term", "shard", "block_id", "n", "first_doc", "last_doc",
+              "max_tf", "min_dl", "gmax", "ids_bw", "tfs_bw", "dls_bw",
+              "ids", "tfs", "dls"])
+
+
 def encode_runs(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                 run_starts: np.ndarray, run_ends: np.ndarray,
                 term_of_run: np.ndarray, shard: int, block_size: int,

@@ -193,29 +193,62 @@ def _segment_encoder(cfg: IndexConfig, avgdl: float, params: BM25Params):
 
 
 def _segment_encoder_docs(cfg: IndexConfig, avgdl: float, params: BM25Params):
-    """applyInPandas body over DOC-GROUPED postings (corpus.doc_postings):
+    """applyInArrow body over DOC-GROUPED postings (corpus.doc_postings):
     one shard's (doc_id, dl, terms[], tfs[]) rows -> SEGMENTS rows.
-    Flattens with np.repeat (no per-token Python), then the same
-    factorize + lexsort + per-run block encode as the flat encoder."""
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        import itertools
-        if len(pdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in schemas.SEGMENTS.fields])
-        shard = int(pdf["shard"].iloc[0])
-        lens = np.fromiter((len(x) for x in pdf["terms"]), dtype=np.int64,
-                           count=len(pdf))
-        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
-        terms_flat = pd.Series(
-            list(itertools.chain.from_iterable(pdf["terms"])), dtype=object)
-        tfs = np.fromiter(itertools.chain.from_iterable(pdf["tfs"]),
-                          dtype=np.int64, count=int(lens.sum()))
-        codes, uniques = pd.factorize(terms_flat, sort=False)
+    Arrow-native end to end: list_flatten + dictionary_encode replace
+    the old pandas object-string chain/factorize (no per-token Python
+    object is ever created), a numpy lexsort orders (term-code, doc),
+    and blocks.encode_runs_arrow emits the packed blocks as one
+    RecordBatch over contiguous binary buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdx_spark.functions.blocks import encode_runs_arrow
+
+    empty = pa.table(
+        {f.name: [] for f in schemas.SEGMENTS.fields},
+        schema=pa.schema([
+            ("term", pa.string()), ("shard", pa.int64()),
+            ("block_id", pa.int32()), ("n", pa.int32()),
+            ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+            ("max_tf", pa.int32()), ("min_dl", pa.int32()),
+            ("gmax", pa.float64()), ("ids_bw", pa.int32()),
+            ("tfs_bw", pa.int32()), ("dls_bw", pa.int32()),
+            ("ids", pa.binary()), ("tfs", pa.binary()),
+            ("dls", pa.binary())]))
+
+    def fn(tab: "pa.Table") -> "pa.Table":
+        if tab.num_rows == 0:
+            return empty
+        shard = tab.column("shard")[0].as_py()
+        lens = pc.list_value_length(tab.column("terms")).to_numpy() \
+            .astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        terms_flat = pc.list_flatten(tab.column("terms")).combine_chunks()
+        tfs = pc.list_flatten(tab.column("tfs")).to_numpy() \
+            .astype(np.int64)
+        doc_ids = np.repeat(tab.column("doc_id").to_numpy()
+                            .astype(np.int64), lens)
+        dls = np.repeat(tab.column("dl").to_numpy().astype(np.int64), lens)
+        denc = pc.dictionary_encode(terms_flat)
+        codes = denc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = denc.dictionary
         order = np.lexsort((doc_ids, codes))
         terms_c = codes[order]
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        return _encode_sorted(doc_ids, tfs, dls, terms_c, uniques, shard,
-                              cfg, avgdl, params)
+        change = np.nonzero(terms_c[1:] != terms_c[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(terms_c)]]).astype(np.int64)
+        code_of_run = terms_c[starts]
+        batch = encode_runs_arrow(
+            doc_ids, tfs, dls, starts, ends,
+            lambda run_of_block: vocab.take(
+                pa.array(code_of_run[run_of_block])),
+            shard, cfg.block_size, avgdl, params)
+        return pa.Table.from_batches([batch])
     return fn
 
 
@@ -401,7 +434,7 @@ class Indexer:
                 seg = (part.withColumn("fgroup", fgroup)
                        .repartition(n_encode, "fgroup")
                        .groupBy("fgroup", "shard")
-                       .applyInPandas(enc, schema=schemas.SEGMENTS))
+                       .applyInArrow(enc, schema=schemas.SEGMENTS))
                 final = self._p(path, "segments", "base", f"chunk-{chunk}")
                 tmp = final + ".tmp"
                 (seg.withColumn("fgroup", fgroup)

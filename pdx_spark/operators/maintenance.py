@@ -223,7 +223,7 @@ class Maintainer:
                      .withColumn("shard", self.cfg.shard_of_expr()))
             enc = _segment_encoder_docs(self.cfg, avgdl, self.params)
             seg = (posts.groupBy("shard")
-                   .applyInPandas(enc, schema=schemas.SEGMENTS).persist())
+                   .applyInArrow(enc, schema=schemas.SEGMENTS).persist())
             _atomic_write(seg, self._p(delta_name),
                           ["term", "shard", "block_id"],
                           fs=self.fs, segments=True)

@@ -197,3 +197,44 @@ def test_encode_runs_empty_token_group():
                          np.empty(0, object), 0, IndexConfig(), 10.0,
                          BM25Params())
     assert len(out) == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_encode_runs_arrow_matches(seed):
+    """encode_runs_arrow (contiguous-buffer BinaryArray output) must be
+    byte-identical to encode_runs."""
+    import pyarrow as pa
+
+    from pdx_spark.config import BM25Params
+    from pdx_spark.functions.blocks import encode_runs, encode_runs_arrow
+
+    rng = np.random.default_rng(seed)
+    params, avgdl, bsz = BM25Params(), 21.5, 16
+    n_runs = int(rng.integers(1, 30))
+    runs = []
+    for i in range(n_runs):
+        rl = int(np.clip(rng.zipf(1.4), 1, 150))
+        ids = np.cumsum(rng.integers(1, 10**5, rl))
+        runs.append((ids.astype(np.int64),
+                     rng.integers(1, 500, rl).astype(np.int64),
+                     rng.integers(1, 10**6, rl).astype(np.int64)))
+    lens = np.array([len(r[0]) for r in runs], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = (ends - lens).astype(np.int64)
+    terms = np.array([f"t{i}" for i in range(n_runs)], dtype=object)
+    args = (np.concatenate([r[0] for r in runs]),
+            np.concatenate([r[1] for r in runs]),
+            np.concatenate([r[2] for r in runs]), starts, ends)
+    ref = encode_runs(*args, terms, 9, bsz, avgdl, params)
+    vocab = pa.array([f"t{i}" for i in range(n_runs)])
+    got = encode_runs_arrow(
+        *args, lambda rob: vocab.take(pa.array(rob)), 9, bsz, avgdl,
+        params).to_pydict()
+    n_blocks = len(ref["n"])
+    assert len(got["n"]) == n_blocks
+    for k in ("term", "shard", "block_id", "n", "first_doc", "last_doc",
+              "max_tf", "min_dl", "gmax", "ids_bw", "tfs_bw", "dls_bw",
+              "ids", "tfs", "dls"):
+        refv = [x.item() if hasattr(x, "item") else x for x in ref[k]]
+        assert refv == got[k], k
