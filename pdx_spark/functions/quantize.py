@@ -60,6 +60,13 @@ def quantize_up_np(x: np.ndarray, base: float, scale: float) -> np.ndarray:
     return np.clip(q, 0, 255).astype(np.uint8)
 
 
+def quantize_down_np(x: np.ndarray, base: float, scale: float) -> np.ndarray:
+    """Floor variant for lower bounds: dequantize(quantize_down(x)) <= x
+    (numpy twin of quantize_down_col)."""
+    q = np.floor((np.asarray(x, dtype=np.float64) - base) * scale)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
 def dequantize_np(q: np.ndarray, base: float, scale: float) -> np.ndarray:
     if scale == 0:
         return np.full(len(q), base)

@@ -35,8 +35,10 @@ Reference analogs (only PDXTreeIndex supports maintenance there,
 
 from __future__ import annotations
 
+import os
 import time
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +69,17 @@ def _atomic_write(df: DataFrame, final: str, sort_cols: list[str] | None = None,
         w = w.option("parquet.block.size", PARQUET_BLOCK_SIZE)
     w.parquet(tmp)
     fs.rename(tmp, final)
+
+
+# byte cap for the driver-side stat-delta fast path: a delta segment dir
+# at most this large is read back with pyarrow and its term_stats /
+# directory deltas are computed + written driver-side (ZERO Spark jobs
+# instead of ~5 fixed-latency jobs per micro-batch append). Above the
+# cap, or on a remote fs, the distributed path runs — same bounded-
+# driver-work-with-distributed-fallback discipline as the searcher's
+# _plan_slice.
+_DELTA_STATS_LOCAL_CAP = int(os.environ.get(
+    "PDX_DELTA_STATS_LOCAL_CAP", 64 * 1024 * 1024))
 
 
 class Maintainer:
@@ -150,6 +163,86 @@ class Maintainer:
         row = self._docs_raw().agg(F.max("doc_id")).collect()[0][0]
         return int(row) + 1 if row is not None else 0
 
+    def _stat_deltas_local(self, delta_name: str, ts_final: str,
+                           dir_final: str) -> dict | None:
+        """Driver-side term_stats + directory deltas, derived from the
+        just-written delta segment's METADATA columns (pyarrow read —
+        the same segments-are-the-source-of-truth derivation the full
+        build uses): df = Σ block n per term, max_tf/gmax = max over
+        blocks, directory rows = per-(term, shard) block aggregates
+        with the standard ceil/floor u8 quantization. Byte-equal values
+        to the distributed path (the encoder computed gmax with the
+        identical tfnorm at the identical avgdl). Returns the directory
+        affine params, or None when the fast path does not apply
+        (remote fs / oversized delta) — caller falls back to Spark."""
+        if not self.fs.is_local:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdx_spark.functions.quantize import (quantize_down_np,
+                                                  quantize_up_np)
+        files = self.fs.parquet_files(self._p(delta_name))
+        if sum(sz for _, sz in files) > _DELTA_STATS_LOCAL_CAP:
+            return None
+        cols = ["term", "shard", "n", "max_tf", "min_dl", "gmax"]
+        tab = pa.concat_tables(
+            [pq.read_table(f, columns=cols) for f, _ in files]) \
+            if files else pa.table({c: [] for c in cols})
+        pdf = tab.to_pandas()
+
+        def _write_pa(table: "pa.Table", final: str):
+            tmp = final + ".tmp"
+            if self.fs.exists(tmp):
+                self.fs.delete(tmp)
+            os.makedirs(tmp)
+            pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+            self.fs.rename(tmp, final)
+
+        gt = pdf.groupby("term", sort=True, as_index=False).agg(
+            df=("n", "sum"), max_tf=("max_tf", "max"),
+            gmax=("gmax", "max"))
+        ts = pa.table({
+            "term": pa.array(gt["term"], pa.string()),
+            "df": pa.array(gt["df"].to_numpy().astype(np.int64)),
+            "max_tf": pa.array(gt["max_tf"].to_numpy().astype(np.int32)),
+            "gmax": pa.array(gt["gmax"].to_numpy().astype(np.float64))})
+        _write_pa(ts, self._p(ts_final))
+
+        gd = pdf.groupby(["term", "shard"], sort=True, as_index=False)
+        rows = gd.agg(n_blocks=("n", "size"), n_postings=("n", "sum"),
+                      max_tf=("max_tf", "max"), min_dl=("min_dl", "min"))
+        if len(rows) == 0:
+            params = {"tf_base": 0.0, "tf_scale": 0.0,
+                      "dl_base": 0.0, "dl_scale": 0.0}
+        else:
+            tf_lo = float(rows["max_tf"].min())
+            tf_hi = float(rows["max_tf"].max())
+            dl_lo = float(rows["min_dl"].min())
+            dl_hi = float(rows["min_dl"].max())
+            params = {
+                "tf_base": tf_lo,
+                "tf_scale": 255.0 / (tf_hi - tf_lo) if tf_hi > tf_lo
+                else 0.0,
+                "dl_base": dl_lo,
+                "dl_scale": 255.0 / (dl_hi - dl_lo) if dl_hi > dl_lo
+                else 0.0}
+        dirt = pa.table({
+            "term": pa.array(rows["term"], pa.string()),
+            "shard": pa.array(rows["shard"].to_numpy().astype(np.int64)),
+            "n_blocks": pa.array(rows["n_blocks"].to_numpy()
+                                 .astype(np.int32)),
+            "n_postings": pa.array(rows["n_postings"].to_numpy()
+                                   .astype(np.int64)),
+            "max_tf_q": pa.array(quantize_up_np(
+                rows["max_tf"].to_numpy(), params["tf_base"],
+                params["tf_scale"]).astype(np.int16)),
+            "min_dl_q": pa.array(quantize_down_np(
+                rows["min_dl"].to_numpy(), params["dl_base"],
+                params["dl_scale"]).astype(np.int16))})
+        _write_pa(dirt, self._p(dir_final))
+        return params
+
     # ---- M1: append ---------------------------------------------------------
     def append(self, transcripts: DataFrame, batch_id: int | None = None) -> dict:
         """Append new turns; O(delta) work, crash-safe, idempotent under
@@ -167,9 +260,14 @@ class Maintainer:
         next_id = self._next_doc_id()  # O(1) manifest read, never a scan
 
         tt = time.time()
-        # appends are delta-sized by design: one partition per core (the
-        # build's 4x straggler smoothing would add fixed task-scheduling
-        # cost to every micro-batch for nothing)
+        # appends are delta-sized by design, so caching the input batch
+        # is bounded by the delta — and assign_doc_ids otherwise scans
+        # the caller's frame three times (range-boundary sampling, the
+        # slim checkpoint, and the id join-back), which for the common
+        # filtered-view input means three passes over the SOURCE. One
+        # materialization, three cache reads. (The full build never
+        # caches its input — corpus-sized; this is the delta exception.)
+        transcripts = transcripts.persist()
         with_ids = C.assign_doc_ids(
             transcripts,
             num_partitions=max(
@@ -212,11 +310,15 @@ class Maintainer:
         def _seg_dir_job():
             # delta segment: blocks store (tf, dl); pruning bounds are
             # recomputed from (max_tf, min_dl) at query time, so avgdl
-            # drift cannot over-prune (see searcher._shard_scorer). The
-            # encoded frame is cached so the directory delta reads it
-            # from memory instead of decoding parquet again. The
-            # directory delta is quantized with its OWN affine params —
-            # delta values can exceed the base range.
+            # drift cannot over-prune (see searcher._shard_scorer).
+            # After the write, BOTH stat deltas (term_stats, directory)
+            # derive from the delta segment's metadata columns — driver-
+            # side via _stat_deltas_local on a local fs (zero Spark
+            # jobs), else the directory falls back to the distributed
+            # write from the cached frame and term_stats runs in its
+            # own thread (_ts_job). The directory delta is quantized
+            # with its OWN affine params — delta values can exceed the
+            # base range.
             tt = time.time()
             self.spark.sparkContext.setJobDescription("append: delta segment")
             posts = (dp.select("doc_id", "dl", "terms", "tfs")
@@ -230,10 +332,14 @@ class Maintainer:
             rg = verify_single_rowgroup(self.fs, delta_name, root=self.path)
             t_seg = round(time.time() - tt, 2)
             tt = time.time()
-            self.spark.sparkContext.setJobDescription("append: directory delta")
-            dq_ = write_directory(seg, self._p(dir_delta), self.fs)
+            dq_ = self._stat_deltas_local(delta_name, ts_delta, dir_delta)
+            stats_local = dq_ is not None
+            if not stats_local:
+                self.spark.sparkContext.setJobDescription(
+                    "append: directory delta")
+                dq_ = write_directory(seg, self._p(dir_delta), self.fs)
             seg.unpersist()
-            return rg, dq_, t_seg, round(time.time() - tt, 2)
+            return rg, dq_, stats_local, t_seg, round(time.time() - tt, 2)
 
         def _ts_job():
             tt = time.time()
@@ -253,11 +359,18 @@ class Maintainer:
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_docs = pool.submit(_docs_job)
             f_seg = pool.submit(_seg_dir_job)
-            f_ts = pool.submit(_ts_job)
+            # on a remote fs the driver fast path never applies — keep
+            # the distributed term_stats delta fully parallel there
+            f_ts = None if self.fs.is_local else pool.submit(_ts_job)
             timings["docs"] = f_docs.result()
-            single_rg, dq, timings["segments"], timings["directory"] = \
-                f_seg.result()
-            timings["term_stats"] = f_ts.result()
+            (single_rg, dq, stats_local, timings["segments"],
+             timings["directory"]) = f_seg.result()
+            if f_ts is not None:
+                timings["term_stats"] = f_ts.result()
+            elif not stats_local:
+                # local fs but delta over the byte cap: rare — run the
+                # distributed term_stats now
+                timings["term_stats"] = _ts_job()
 
         # 4b) positional delta (only for positions-enabled indexes):
         # same O(delta) discipline, merged at read by phrase_topk
@@ -270,6 +383,7 @@ class Maintainer:
             timings["positions"] = round(time.time() - tt, 2)
 
         dp.unpersist()
+        transcripts.unpersist()
 
         # 5) manifest commit — the single atomic visibility point
         m.setdefault("deltas", []).append(delta_name)
