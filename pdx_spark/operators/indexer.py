@@ -119,6 +119,113 @@ def write_directory_rows(rows: DataFrame, final: str,
     return params
 
 
+# row cap for the driver-side stats fast path (build stage C and append
+# deltas): segment-metadata frames at most this many BLOCK rows are read
+# back with pyarrow and their term_stats/directory artifacts are
+# computed + written driver-side — zero Spark jobs instead of a scan,
+# two aggs and two write jobs of fixed latency each. Above the cap, or
+# on a remote fs, the distributed path runs (bounded-driver-work-with-
+# distributed-fallback, the searcher's _plan_slice discipline). 4M
+# block rows ≈ a few seconds of pandas groupby — bench-scale indexes
+# and delta appends are far below it; a 100 TB base is far above.
+_STATS_LOCAL_CAP_ROWS = int(os.environ.get(
+    "PDX_STATS_LOCAL_CAP_ROWS", 4_000_000))
+
+# row-group size for driver-written stat artifacts: term-sorted row
+# groups this size give the pyarrow planner (_plan_slice, _idf_lookup)
+# footer-stat pruning at ~the same granularity as the Spark path's
+# range-partitioned files
+_STATS_ROW_GROUP = 16384
+
+
+def stat_artifacts_local(fs: IndexFS, seg_dirs: list[str],
+                         ts_final: str | None, dir_final: str,
+                         cap_rows: int | None = None) -> dict | None:
+    """Driver-side term_stats + directory from written segment METADATA
+    (pyarrow column-pruned read — payload bytes never touched): the
+    same segments-are-the-source-of-truth derivation as the distributed
+    stage C / append-delta path, so every value is identical (df = Σ
+    block n, bounds = min/max over blocks, gmax = the encoder's own
+    doubles). Writes term-sorted parquet with _STATS_ROW_GROUP row
+    groups via tmp -> rename. Returns the directory affine params, or
+    None when the fast path does not apply (remote fs, or more block
+    rows than cap_rows). ts_final=None skips term_stats (resume with
+    ts_done)."""
+    if not fs.is_local:
+        return None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdx_spark.functions.quantize import (quantize_down_np,
+                                              quantize_up_np)
+    cap = _STATS_LOCAL_CAP_ROWS if cap_rows is None else cap_rows
+    files, total_rows = [], 0
+    for d in seg_dirs:
+        for f, _ in fs.parquet_files(d):
+            files.append(f)
+            total_rows += pq.ParquetFile(f).metadata.num_rows
+            if total_rows > cap:
+                return None
+    cols = ["term", "shard", "n", "max_tf", "min_dl", "gmax"]
+    tab = pa.concat_tables([pq.read_table(f, columns=cols)
+                            for f in files]) \
+        if files else pa.table({c: [] for c in cols})
+    pdf = tab.to_pandas()
+
+    def _write_pa(table: "pa.Table", final: str):
+        tmp = final + ".tmp"
+        if fs.exists(tmp):
+            fs.delete(tmp)
+        os.makedirs(tmp)
+        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"),
+                       row_group_size=_STATS_ROW_GROUP)
+        if fs.exists(final):
+            fs.delete(final)
+        fs.rename(tmp, final)
+
+    gd = pdf.groupby(["term", "shard"], sort=True, as_index=False).agg(
+        n_blocks=("n", "size"), n_postings=("n", "sum"),
+        max_tf=("max_tf", "max"), min_dl=("min_dl", "min"),
+        gmax=("gmax", "max"))
+
+    if ts_final is not None:
+        gt = gd.groupby("term", sort=True, as_index=False).agg(
+            df=("n_postings", "sum"), max_tf=("max_tf", "max"),
+            gmax=("gmax", "max"))
+        ts = pa.table({
+            "term": pa.array(gt["term"], pa.string()),
+            "df": pa.array(gt["df"].to_numpy().astype(np.int64)),
+            "max_tf": pa.array(gt["max_tf"].to_numpy().astype(np.int32)),
+            "gmax": pa.array(gt["gmax"].to_numpy().astype(np.float64))})
+        _write_pa(ts, ts_final)
+
+    if len(gd) == 0:
+        params = {"tf_base": 0.0, "tf_scale": 0.0,
+                  "dl_base": 0.0, "dl_scale": 0.0}
+    else:
+        tf_lo, tf_hi = float(gd["max_tf"].min()), float(gd["max_tf"].max())
+        dl_lo, dl_hi = float(gd["min_dl"].min()), float(gd["min_dl"].max())
+        params = {
+            "tf_base": tf_lo,
+            "tf_scale": 255.0 / (tf_hi - tf_lo) if tf_hi > tf_lo else 0.0,
+            "dl_base": dl_lo,
+            "dl_scale": 255.0 / (dl_hi - dl_lo) if dl_hi > dl_lo else 0.0}
+    dirt = pa.table({
+        "term": pa.array(gd["term"], pa.string()),
+        "shard": pa.array(gd["shard"].to_numpy().astype(np.int64)),
+        "n_blocks": pa.array(gd["n_blocks"].to_numpy().astype(np.int32)),
+        "n_postings": pa.array(gd["n_postings"].to_numpy()
+                               .astype(np.int64)),
+        "max_tf_q": pa.array(quantize_up_np(
+            gd["max_tf"].to_numpy(), params["tf_base"],
+            params["tf_scale"]).astype(np.int16)),
+        "min_dl_q": pa.array(quantize_down_np(
+            gd["min_dl"].to_numpy(), params["dl_base"],
+            params["dl_scale"]).astype(np.int16))})
+    _write_pa(dirt, dir_final)
+    return params
+
+
 def _chunk_stats(spark, fs: IndexFS, seg_dir: str) -> dict:
     """Lineage metrics (block + posting counts) for a written chunk.
     Local: pure parquet metadata + a single-column pyarrow read — no
@@ -479,6 +586,36 @@ class Indexer:
         # stage from the durable segments (ts_done gates the rewrite). ----
         if manifest["stage"] == "directory":
             td = time.time()
+            need_ts0 = (not manifest.get("ts_done")
+                        or not fs.exists(self._p(path, "term_stats")))
+            params = stat_artifacts_local(
+                fs, [self._p(path, "segments", "base")],
+                self._p(path, "term_stats") if need_ts0 else None,
+                self._p(path, "directory"))
+            if params is not None:
+                if need_ts0:
+                    manifest["ts_done"] = True
+                    manifest["lineage"].append(
+                        {"stage": "term_stats", "timings": {
+                            "term_stats": 0.0, "driver_side": True}})
+                manifest.setdefault("dir_quant", {})["directory"] = params
+                manifest["lineage"].append(
+                    {"stage": "directory", "timings": {
+                        "directory": round(time.time() - td, 2),
+                        "driver_side": True}})
+                fs.delete(self._p(path, "postings_tmp"))
+                cached = getattr(self, "_posts_cache", None)
+                if cached is not None:
+                    cached.unpersist()
+                    self._posts_cache = None
+                manifest["stage"] = "complete"
+                manifest["lineage"].append(
+                    {"stage": "build_complete",
+                     "sec": round(time.time() - t0, 2)})
+                _write_manifest(path, manifest, fs=fs)
+                if pool is not None:
+                    pool.shutdown(wait=True)
+                return manifest
             seg = (self.spark.read.schema(schemas.SEGMENTS)
                    .option("recursiveFileLookup", "true")
                    .parquet(self._p(path, "segments", "base")))

@@ -35,7 +35,6 @@ Reference analogs (only PDXTreeIndex supports maintenance there,
 
 from __future__ import annotations
 
-import os
 import time
 
 import numpy as np
@@ -69,17 +68,6 @@ def _atomic_write(df: DataFrame, final: str, sort_cols: list[str] | None = None,
         w = w.option("parquet.block.size", PARQUET_BLOCK_SIZE)
     w.parquet(tmp)
     fs.rename(tmp, final)
-
-
-# byte cap for the driver-side stat-delta fast path: a delta segment dir
-# at most this large is read back with pyarrow and its term_stats /
-# directory deltas are computed + written driver-side (ZERO Spark jobs
-# instead of ~5 fixed-latency jobs per micro-batch append). Above the
-# cap, or on a remote fs, the distributed path runs — same bounded-
-# driver-work-with-distributed-fallback discipline as the searcher's
-# _plan_slice.
-_DELTA_STATS_LOCAL_CAP = int(os.environ.get(
-    "PDX_DELTA_STATS_LOCAL_CAP", 64 * 1024 * 1024))
 
 
 class Maintainer:
@@ -174,74 +162,13 @@ class Maintainer:
         to the distributed path (the encoder computed gmax with the
         identical tfnorm at the identical avgdl). Returns the directory
         affine params, or None when the fast path does not apply
-        (remote fs / oversized delta) — caller falls back to Spark."""
-        if not self.fs.is_local:
-            return None
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pdx_spark.functions.quantize import (quantize_down_np,
-                                                  quantize_up_np)
-        files = self.fs.parquet_files(self._p(delta_name))
-        if sum(sz for _, sz in files) > _DELTA_STATS_LOCAL_CAP:
-            return None
-        cols = ["term", "shard", "n", "max_tf", "min_dl", "gmax"]
-        tab = pa.concat_tables(
-            [pq.read_table(f, columns=cols) for f, _ in files]) \
-            if files else pa.table({c: [] for c in cols})
-        pdf = tab.to_pandas()
-
-        def _write_pa(table: "pa.Table", final: str):
-            tmp = final + ".tmp"
-            if self.fs.exists(tmp):
-                self.fs.delete(tmp)
-            os.makedirs(tmp)
-            pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-            self.fs.rename(tmp, final)
-
-        gt = pdf.groupby("term", sort=True, as_index=False).agg(
-            df=("n", "sum"), max_tf=("max_tf", "max"),
-            gmax=("gmax", "max"))
-        ts = pa.table({
-            "term": pa.array(gt["term"], pa.string()),
-            "df": pa.array(gt["df"].to_numpy().astype(np.int64)),
-            "max_tf": pa.array(gt["max_tf"].to_numpy().astype(np.int32)),
-            "gmax": pa.array(gt["gmax"].to_numpy().astype(np.float64))})
-        _write_pa(ts, self._p(ts_final))
-
-        gd = pdf.groupby(["term", "shard"], sort=True, as_index=False)
-        rows = gd.agg(n_blocks=("n", "size"), n_postings=("n", "sum"),
-                      max_tf=("max_tf", "max"), min_dl=("min_dl", "min"))
-        if len(rows) == 0:
-            params = {"tf_base": 0.0, "tf_scale": 0.0,
-                      "dl_base": 0.0, "dl_scale": 0.0}
-        else:
-            tf_lo = float(rows["max_tf"].min())
-            tf_hi = float(rows["max_tf"].max())
-            dl_lo = float(rows["min_dl"].min())
-            dl_hi = float(rows["min_dl"].max())
-            params = {
-                "tf_base": tf_lo,
-                "tf_scale": 255.0 / (tf_hi - tf_lo) if tf_hi > tf_lo
-                else 0.0,
-                "dl_base": dl_lo,
-                "dl_scale": 255.0 / (dl_hi - dl_lo) if dl_hi > dl_lo
-                else 0.0}
-        dirt = pa.table({
-            "term": pa.array(rows["term"], pa.string()),
-            "shard": pa.array(rows["shard"].to_numpy().astype(np.int64)),
-            "n_blocks": pa.array(rows["n_blocks"].to_numpy()
-                                 .astype(np.int32)),
-            "n_postings": pa.array(rows["n_postings"].to_numpy()
-                                   .astype(np.int64)),
-            "max_tf_q": pa.array(quantize_up_np(
-                rows["max_tf"].to_numpy(), params["tf_base"],
-                params["tf_scale"]).astype(np.int16)),
-            "min_dl_q": pa.array(quantize_down_np(
-                rows["min_dl"].to_numpy(), params["dl_base"],
-                params["dl_scale"]).astype(np.int16))})
-        _write_pa(dirt, self._p(dir_final))
-        return params
+        (remote fs / delta over the indexer's _STATS_LOCAL_CAP_ROWS) —
+        caller falls back to Spark. Shared with build stage C
+        (indexer.stat_artifacts_local)."""
+        from pdx_spark.operators.indexer import stat_artifacts_local
+        return stat_artifacts_local(
+            self.fs, [self._p(delta_name)], self._p(ts_final),
+            self._p(dir_final))
 
     # ---- M1: append ---------------------------------------------------------
     def append(self, transcripts: DataFrame, batch_id: int | None = None) -> dict:
