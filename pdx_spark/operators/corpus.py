@@ -22,6 +22,33 @@ from pdx_spark.config import BM25Params, IndexConfig
 from pdx_spark.functions.tokenize import tokens_col
 
 
+def _assign_ids_driver(transcripts: DataFrame, cap: int) -> DataFrame | None:
+    """Bounded driver-side dense-rank fast path: peek up to cap+1
+    (conv_id, turn_idx) keys; if the corpus fits, rank with a numpy
+    lexsort (Python string order == Spark's UTF8 binary order — UTF-8
+    preserves code-point order) and broadcast-join the ids back — two
+    jobs, ZERO shuffles, no checkpoint pin. Returns None above the cap
+    (callers run the range-partition scale path). Ids are identical to
+    the scale path by construction (same total order, same dense rank)."""
+    import numpy as np
+
+    keys = (transcripts.select("conv_id", "turn_idx")
+            .limit(cap + 1).toPandas())
+    if len(keys) > cap:
+        return None
+    order = np.lexsort((keys["turn_idx"].to_numpy(),
+                        keys["conv_id"].to_numpy(dtype=object)))
+    rank = np.empty(len(keys), dtype=np.int64)
+    rank[order] = np.arange(len(keys), dtype=np.int64)
+    import pandas as pd
+    ids_pdf = pd.DataFrame({"conv_id": keys["conv_id"],
+                            "turn_idx": keys["turn_idx"],
+                            "doc_id": rank})
+    ids_df = transcripts.sparkSession.createDataFrame(
+        ids_pdf, "conv_id string, turn_idx int, doc_id long")
+    return transcripts.join(F.broadcast(ids_df), ["conv_id", "turn_idx"])
+
+
 def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """transcripts(+any cols) -> same rows + dense int64 doc_id, ordered by
     (conv_id, turn_idx).
@@ -43,6 +70,11 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
     pinned ids) instead of killing the build. Deterministic regardless of
     partitioning (offsets come from actual counts; the key is unique)."""
     spark = transcripts.sparkSession
+    import os
+    cap = int(os.environ.get("PDX_ASSIGN_IDS_LOCAL_CAP", 1_000_000))
+    fast = _assign_ids_driver(transcripts, cap)
+    if fast is not None:
+        return fast
     if num_partitions is None:
         # 4 partitions per core: one wave per core leaves the slowest
         # tokenize partition as the build's critical path; 4 waves

@@ -174,34 +174,16 @@ class Maintainer:
     def _assign_append_ids(self, transcripts: DataFrame,
                            next_id: int) -> DataFrame:
         """Dense doc_id assignment for an append batch: rank of
-        (conv_id, turn_idx) + next_id — identical ids to
-        corpus.assign_doc_ids, cheaper for the common delta-sized batch.
-        A bounded key peek (limit cap+1) ranks the keys driver-side
-        (numpy lexsort; Python string order == Spark's UTF8 binary
-        order, since UTF-8 preserves code-point order) and broadcast-
-        joins them back — 2 jobs and ZERO shuffles, vs the range-
-        partition machinery's two shuffles plus sampling + checkpoint +
-        counts jobs. Batches over the cap fall back to the scale path."""
-        cap = int(os.environ.get("PDX_APPEND_IDS_LOCAL_CAP", 1_000_000))
-        keys = (transcripts.select("conv_id", "turn_idx")
-                .limit(cap + 1).toPandas())
-        if len(keys) > cap:
-            return C.assign_doc_ids(
-                transcripts,
-                num_partitions=max(
-                    self.spark.sparkContext.defaultParallelism, 8)) \
-                .withColumn("doc_id", F.col("doc_id") + F.lit(int(next_id)))
-        order = np.lexsort((keys["turn_idx"].to_numpy(),
-                            keys["conv_id"].to_numpy(dtype=object)))
-        rank = np.empty(len(keys), dtype=np.int64)
-        rank[order] = np.arange(len(keys), dtype=np.int64) + int(next_id)
-        ids_pdf = pd.DataFrame({"conv_id": keys["conv_id"],
-                                "turn_idx": keys["turn_idx"],
-                                "doc_id": rank})
-        ids_df = self.spark.createDataFrame(
-            ids_pdf, "conv_id string, turn_idx int, doc_id long")
-        return transcripts.join(F.broadcast(ids_df),
-                                ["conv_id", "turn_idx"])
+        (conv_id, turn_idx) + next_id. corpus.assign_doc_ids supplies
+        both regimes — the bounded driver-side rank + broadcast join
+        for delta-sized batches (PDX_ASSIGN_IDS_LOCAL_CAP) and the
+        range-partition scale path above the cap."""
+        with_ids = C.assign_doc_ids(
+            transcripts,
+            num_partitions=max(
+                self.spark.sparkContext.defaultParallelism, 8))
+        return with_ids.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(int(next_id)))
 
     # ---- M1: append ---------------------------------------------------------
     def append(self, transcripts: DataFrame, batch_id: int | None = None) -> dict:

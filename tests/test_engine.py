@@ -298,3 +298,30 @@ def test_prefix_expansion_vs_oracle(searcher, tiny_oracle):
         searcher.expand_prefix("w0*")
     # absent prefix -> empty expansion
     assert searcher.expand_prefix("zzznope") == []
+
+
+def test_assign_doc_ids_driver_path_matches_scale_path(spark, tiny_df,
+                                                       monkeypatch):
+    """The bounded driver-side id fast path must produce EXACTLY the
+    range-partition scale path's ids (dense rank of (conv_id,
+    turn_idx)) — including on keys that stress string-order parity."""
+    import pandas as pd
+
+    from pdx_spark.schemas import TRANSCRIPTS
+
+    extra = pd.DataFrame({
+        "conv_id": ["zz", "Zz", "z1", "z", "z0"],
+        "turn_idx": [0, 0, 0, 5, 0],
+        "role": ["user"] * 5,
+        "text": ["a"] * 5,
+        "tool": [None] * 5,
+        "ts": pd.to_datetime(["2031-01-01"] * 5, utc=True)})
+    df = tiny_df.unionByName(
+        spark.createDataFrame(extra, schema=TRANSCRIPTS))
+    monkeypatch.setenv("PDX_ASSIGN_IDS_LOCAL_CAP", "1000000")
+    fast = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in C.assign_doc_ids(df).collect()}
+    monkeypatch.setenv("PDX_ASSIGN_IDS_LOCAL_CAP", "0")
+    slow = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in C.assign_doc_ids(df).collect()}
+    assert fast == slow and len(fast) == df.count()

@@ -78,14 +78,23 @@ def test_build_never_persists_text(spark, tmp_path, monkeypatch):
 
     pdf = make_transcripts_pdf(30)
     df = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+
+    # driver-side id fast path (default): only the postings frame may
+    # be persisted, never the text
     path = str(tmp_path / "notext")
     Indexer(spark, cfg=CFG).build(df, path)
-
-    assert cached_schemas, "expected at least the slim id checkpoint"
+    assert cached_schemas, "expected at least the postings persist"
     offenders = [s for s in cached_schemas if "text" in s]
     assert not offenders, f"text column pinned in storage: {offenders}"
 
-    # the slim checkpoint really is slim: ids + key only
+    # range-partition scale path (cap=0): additionally the slim id
+    # checkpoint appears, and really is slim — ids + key only
+    cached_schemas.clear()
+    monkeypatch.setenv("PDX_ASSIGN_IDS_LOCAL_CAP", "0")
+    path2 = str(tmp_path / "notext2")
+    Indexer(spark, cfg=CFG).build(df, path2)
+    offenders = [s for s in cached_schemas if "text" in s]
+    assert not offenders, f"text column pinned in storage: {offenders}"
     ckpt = [s for s in cached_schemas if "_mid" in s]
     assert ckpt and all(set(s) == {"conv_id", "turn_idx", "_mid"}
                         for s in ckpt)
