@@ -99,8 +99,16 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     threshold, doc_a < doc_b. Candidate pairs come from an equi-join on
     shingle_hash (never all-pairs); max_shingle_df caps boilerplate
     shingles that would explode the join (scale guard; None = off for
-    oracle parity on small data)."""
-    sh = shingles_df(df, n, text_col)
+    oracle parity on small data).
+
+    The shingle frame feeds three plan arms (sizes, both join sides);
+    Spark does not recognize the aliased subtrees as one exchange, so
+    without a persist the tokenize+shingle+distinct pipeline (and its
+    shuffle) executes once PER ARM — measured 16 source scans in the
+    physical plan at the bench fixture. persist() computes it once;
+    MEMORY_AND_DISK spills at scale (rows are (id, hash) — bounded,
+    index-shaped, never raw text)."""
+    sh = shingles_df(df, n, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cand_src = sh
     if max_shingle_df is not None:
@@ -147,15 +155,36 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 16,
                       .alias("sig"))
 
 
+def minhash_signatures_from_shingles(sh: DataFrame,
+                                     num_hashes: int = 16) -> DataFrame:
+    """minhash_signatures over a precomputed (doc_id, shingle_hash)
+    frame — lets callers share one cached shingle pipeline between
+    signature generation and Jaccard verification."""
+    from pdx_spark.functions.textstats import FP_MOD
+    h = F.col("shingle_hash") % FP_MOD
+    mins = [F.min((F.lit(a) * h + F.lit(b)) % FP_MOD).alias(f"m{i}")
+            for i, (a, b) in enumerate(_minhash_params(num_hashes))]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id",
+                      F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+                      .alias("sig"))
+
+
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 16,
                       bands: int = 4, threshold: float = 0.5,
                       text_col: str = "text") -> DataFrame:
     """MinHash + banded LSH: docs sharing any band bucket become candidate
     pairs; candidates verified with exact shingle Jaccard >= threshold.
     -> (doc_a, doc_b, jaccard). Shuffle keys are band buckets (bounded),
-    so Zipf-duplicated boilerplate cannot serialize one reducer."""
+    so Zipf-duplicated boilerplate cannot serialize one reducer.
+
+    The signature frame feeds both bucket join sides and the shingle
+    frame feeds signatures + verification + sizes — persist both so the
+    shingle pipeline runs once instead of once per plan arm (same
+    rationale as ngram_jaccard_pairs)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, text_col)
+    sh_all = shingles_df(df, n, text_col).persist()
+    sig = minhash_signatures_from_shingles(sh_all, num_hashes)
     band_cols = []
     for bi in range(bands):
         chunk = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
@@ -170,8 +199,8 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 16,
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    # verify candidates with exact Jaccard
-    sh = shingles_df(df, n, text_col)
+    # verify candidates with exact Jaccard (reusing the cached shingles)
+    sh = sh_all
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
@@ -225,7 +254,9 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     shared band is a capped one (document downstream; exact twins are
     better handled by exact_dup_groups first). None = off (oracle parity
     on small data)."""
-    sim = simhash63(df, text_col)
+    # sim feeds both band-join sides: persist so the tokenize + 63-bit
+    # aggregation runs once (one slim row per doc)
+    sim = simhash63(df, text_col).persist()
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  (F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(0xFFFF))
@@ -259,7 +290,7 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x))
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   norm.alias("nrm")).filter(F.col("nrm") > 0)
+                   norm.alias("nrm")).filter(F.col("nrm") > 0).persist()
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),

@@ -181,8 +181,10 @@ def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
         band_cols.append(F.struct(
             F.lit(bi).alias("band"),
             lsh_bucket_col(F.col("v"), planes).alias("bucket")))
+    # buckets feed both candidate join sides — persist so the per-band
+    # hyperplane projections run once (slim (id, band, bucket) rows)
     buckets = (v.select("id", F.explode(F.array(*band_cols)).alias("bb"))
-               .select("id", "bb.band", "bb.bucket"))
+               .select("id", "bb.band", "bb.bucket")).persist()
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
