@@ -292,35 +292,53 @@ def unpack_rows(bufs, widths: np.ndarray, ns: np.ndarray) -> np.ndarray:
     """Decode a sequence of packed blocks into ONE concatenated int64
     array, order preserved.
 
-    Same-width blocks whose payload is byte-aligned (n*width % 8 == 0 —
-    true for every FULL block: block_size is a multiple of 8, so only a
-    posting run's final partial block can be unaligned) are decoded in
-    a single unpackbits pass over their concatenated buffers. numpy's
-    fixed per-call cost (~17 us) dominates a 128-value block decode, so
-    per-block decoding made the scan decode-bound at large batches;
-    batching by (term, width) amortizes it across the term's blocks."""
+    Word-gather decode: all buffers are joined once (C-speed), and each
+    width group's values are read as little-endian byte windows gathered
+    straight out of the joined buffer — (w+14)//8 fancy-gathers per
+    group, no unpackbits, no bit matrix, and no per-block calls at all.
+    The previous unpackbits-based path paid numpy's fixed cost once per
+    UNALIGNED block (any run-final partial block), which on real Zipf
+    runs (~2.4 blocks/run) was ~40% of all blocks — measured 2.6 of 10
+    CPU-s on an 800-query batch. Integer arithmetic throughout;
+    bit-identical to per-block unpack() (equivalence-suite pinned)."""
     total = int(ns.sum())
     out = np.empty(total, dtype=np.int64)
     ends = np.cumsum(ns)
     starts = ends - ns
-    aligned = (ns * widths) % 8 == 0
+    ns = ns.astype(np.int64, copy=False)
+    widths = widths.astype(np.int64, copy=False)
+    # per-block byte lengths are fixed by the format: ceil(n*w/8)
+    blen = (ns * widths + 7) >> 3
+    boff = np.cumsum(blen) - blen
+    data = np.frombuffer(
+        b"".join(bufs) + b"\0" * 8, dtype=np.uint8)
+    if len(data) != int(blen.sum()) + 8:
+        raise ValueError("packed payload length mismatch vs (n, width)")
     for w in np.unique(widths):
-        idx = np.nonzero(widths == w)[0]
-        al = idx[aligned[idx]]
-        if len(al):
-            if w == 0:
-                for i in al:
-                    out[starts[i]:ends[i]] = 0
-            else:
-                cat = b"".join(bufs[i] for i in al)
-                vals = unpack(cat, int(w), int(ns[al].sum()))
-                off = 0
-                for i in al:
-                    c = int(ns[i])
-                    out[starts[i]:ends[i]] = vals[off:off + c]
-                    off += c
-        for i in idx[~aligned[idx]]:
-            out[starts[i]:ends[i]] = unpack(bufs[i], int(w), int(ns[i]))
+        w = int(w)
+        sel = np.nonzero(widths == w)[0]
+        nv = ns[sel]
+        if w == 0:
+            for i in sel:
+                out[starts[i]:ends[i]] = 0
+            continue
+        if w > 57:  # not reachable with this format's value ranges
+            for i in sel:
+                out[starts[i]:ends[i]] = unpack(
+                    bufs[i], w, int(ns[i]))
+            continue
+        tot = int(nv.sum())
+        within = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(nv) - nv, nv)
+        bitoff = np.repeat(boff[sel] << 3, nv) + within * w
+        byte = bitoff >> 3
+        sh = (bitoff & 7).astype(np.uint64)
+        acc = np.zeros(tot, dtype=np.uint64)
+        for j in range((w + 14) >> 3):
+            acc |= data[byte + j].astype(np.uint64) << np.uint64(8 * j)
+        vals = ((acc >> sh) & np.uint64((1 << w) - 1)).astype(np.int64)
+        dst = np.repeat(starts[sel], nv) + within
+        out[dst] = vals
     return out
 
 

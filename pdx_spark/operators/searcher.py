@@ -83,6 +83,10 @@ _ROUTING_CAP = 200_000
 # this (or on a remote fs) planning runs distributed via ub_df
 _PLAN_SLICE_CAP = 2_000_000
 
+# max rows the driver-side global top-k merge may collect (bounded by
+# n_segment_files x Σk); above this the window merge runs Spark-side
+_MERGE_LOCAL_CAP = int(os.environ.get("PDX_MERGE_LOCAL_CAP", 4_000_000))
+
 # adaptive-planner feedback: after this many consecutive unrouted
 # fallbacks (θ pruned nothing), skip the seed phase; re-probe two-phase
 # after this many bypassed batches OR this many wall seconds (ten
@@ -508,27 +512,42 @@ def _partition_scorer(payload: dict):
                     chg = np.nonzero(terms_np[1:] != terms_np[:-1])[0] + 1
                     st = np.concatenate([[0], chg])
                     en = np.concatenate([chg, [len(terms_np)]])
-                    box[0] = (
-                        {str(terms_np[s]): (s, e) for s, e in zip(st, en)},
-                        ps["n"].to_numpy(np.int64),
-                        ps["first_doc"].to_numpy(np.int64),
-                        ps["last_doc"].to_numpy(np.int64),
+                    n_a = ps["n"].to_numpy(np.int64)
+                    # ONE decode pass for the whole partition: the
+                    # delta-chain stitch is exact ACROSS term runs too
+                    # (the cumsum through the end of any block equals
+                    # its last_doc, so the next run-leading block's
+                    # patch first_doc[i] - last_doc[i-1] lands it at
+                    # its absolute first_doc — the same int64
+                    # arithmetic per block as per-run decode calls,
+                    # bit-identical). Per-term lookups then slice the
+                    # global arrays, so the per-call fixed cost of
+                    # unpack_rows is paid 3x per PARTITION instead of
+                    # 3x per (term, partition) — measured 4.0 of 5.1
+                    # CPU-s on a 200-query batch before this change.
+                    ids_all, tfs_all, dls_all = decode_term_run(
+                        ps["ids"].to_numpy(), ps["tfs"].to_numpy(),
+                        ps["dls"].to_numpy(),
                         ps["ids_bw"].to_numpy(np.int64),
                         ps["tfs_bw"].to_numpy(np.int64),
                         ps["dls_bw"].to_numpy(np.int64),
-                        ps["ids"].to_numpy(),
-                        ps["tfs"].to_numpy(),
-                        ps["dls"].to_numpy())
-                (tidx, n_a, fd, ld, ibw, tbw, dbw, ib, tb, db) = box[0]
+                        n_a,
+                        ps["first_doc"].to_numpy(np.int64),
+                        ps["last_doc"].to_numpy(np.int64))
+                    vend = np.cumsum(n_a)
+                    box[0] = (
+                        {str(terms_np[s]): (s, e) for s, e in zip(st, en)},
+                        ids_all,
+                        tfnorm_np(tfs_all, dls_all, avgdl_, params_),
+                        vend - n_a, vend)
+                (tidx, ids_all, g_all, vstart, vend) = box[0]
                 se = tidx.get(t)
                 if se is None:
                     hit = (np.empty(0, dtype=np.int64), np.empty(0))
                 else:
                     s, e = se
-                    ids, tfs, dls = decode_term_run(
-                        ib[s:e], tb[s:e], db[s:e], ibw[s:e], tbw[s:e],
-                        dbw[s:e], n_a[s:e], fd[s:e], ld[s:e])
-                    hit = (ids, tfnorm_np(tfs, dls, avgdl_, params_))
+                    a, b = int(vstart[s]), int(vend[e - 1])
+                    hit = (ids_all[a:b], g_all[a:b])
                 pcache[t] = hit
             return hit
 
@@ -672,14 +691,21 @@ class Searcher:
         caches 0, which disables the byte cap."""
         if self._seg_bytes is None:
             try:
-                self._seg_bytes = sum(
+                files = [
                     sz for d in self.manifest["segment_dirs"]
                     + self.manifest.get("deltas", [])
                     for _, sz in self.fs.parquet_files(
-                        self.fs.join(self.path, d)))
+                        self.fs.join(self.path, d))]
+                self._seg_bytes = sum(files)
+                self._seg_files = len(files)
             except Exception:
                 self._seg_bytes = 0
+                self._seg_files = 0
         return self._seg_bytes
+
+    def _segment_file_count(self) -> int:
+        self._segment_bytes()
+        return self._seg_files
 
     def _routed_task_count(self, n_routed_shards: int) -> int:
         """Task count for a routed scan: at most one task per routed
@@ -941,6 +967,10 @@ class Searcher:
             qspec = [(q, ts, k, None) for q, ts, k in live]
             if mask_df is None:
                 res = self._map_scan(seg, qspec, idf, mask=closure_mask)
+                if self._map_scan_ok and self._merge_bound_ok(live):
+                    # per-partition top-k collected and merged on the
+                    # driver: one stage, no exchange/window, free count
+                    return self._merge_topk_local(res, live)
             else:
                 res = self._scan(seg, qspec, idf, mask_df, pred_mode)
             return self._global_topk(res, live)
@@ -1067,7 +1097,13 @@ class Searcher:
         # the rows themselves are REUSED as the seed contribution to the
         # final merge — the seed scan is never thrown away or re-run.
         _t0 = time.time()
-        seed_pdf = self._global_topk(seed_res, live).toPandas()  # Arrow
+        if mask_df is None and self._map_scan_ok \
+                and self._merge_bound_ok(live):
+            # bounded per-partition top-k -> one collect stage, driver
+            # merge (no exchange/window job in the seed phase)
+            seed_pdf = self._topk_merge_pdf([seed_res.toPandas()], live)
+        else:
+            seed_pdf = self._global_topk(seed_res, live).toPandas()
         tm["seed_scan"] = round(time.time() - _t0, 3)
         seed_rows = list(zip(seed_pdf["query_id"].astype(int),
                              seed_pdf["doc_id"].astype(int),
@@ -1141,7 +1177,10 @@ class Searcher:
                 self._unrouted_min_live or (1 << 30), len(live))
             res = self._map_scan(seg, qspec1, idf, anti_routing=seed_routing,
                                  mask=closure_mask)
-            out = self._global_topk(seed_df.unionByName(res), live)
+            if self._map_scan_ok and self._merge_bound_ok(live):
+                out = self._merge_topk_local(res, live, extra_pdf=seed_pdf)
+            else:
+                out = self._global_topk(seed_df.unionByName(res), live)
         elif mask_df is None and n_main <= _ROUTING_CAP:
             routing: dict[int, set] = {}
             for q, sh in pairs:
@@ -1168,7 +1207,12 @@ class Searcher:
                 main_res = self._map_scan(main_seg, qspec1, idf,
                                           routing=routing,
                                           mask=closure_mask)
-                out = self._global_topk(seed_df.unionByName(main_res), live)
+                if self._map_scan_ok and self._merge_bound_ok(live):
+                    out = self._merge_topk_local(main_res, live,
+                                                 extra_pdf=seed_pdf)
+                else:
+                    out = self._global_topk(
+                        seed_df.unionByName(main_res), live)
             else:
                 # every surviving pair was a seed pair: the collected
                 # seed top-k IS the answer — zero further jobs
@@ -1523,6 +1567,62 @@ class Searcher:
                     .applyInPandas(fn, schema=schemas.RESULTS))
         fn = _shard_scorer(payload, has_aux=False)
         return seg.groupBy("shard").applyInPandas(fn, schema=schemas.RESULTS)
+
+    def _merge_bound_ok(self, live) -> bool:
+        """May the global top-k merge run driver-side? The map-scan
+        scorer emits at most Σk rows per SCAN PARTITION (per-partition
+        per-query top-k), so the collect is bounded by
+        n_segment_files x Σk rows (coalesced scans only shrink it).
+        Driver work stays bounded-with-distributed-fallback: above the
+        cap (or when the file count is unknown) the window merge runs
+        Spark-side, unchanged."""
+        n_files = self._segment_file_count()
+        if n_files <= 0:
+            return False
+        sum_k = sum(k for _, _, k in live)
+        return n_files * sum_k <= _MERGE_LOCAL_CAP
+
+    @staticmethod
+    def _topk_merge_pdf(pdfs: list[pd.DataFrame], live) -> pd.DataFrame:
+        """numpy global top-k merge of per-partition top-k frames: sort
+        by (query, score desc, doc asc) — the exact window order of
+        _global_topk — and keep each query's first k rows. Same
+        tie-break, same rows; only WHERE the merge runs differs."""
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs,
+                                                       ignore_index=True)
+        if not len(pdf):
+            return pdf
+        q = pdf["query_id"].to_numpy()
+        d = pdf["doc_id"].to_numpy()
+        s = pdf["score"].to_numpy()
+        order = np.lexsort((d, -s, q))
+        q, d, s = q[order], d[order], s[order]
+        kmap = {int(qq): int(k) for qq, _, k in live}
+        keep = np.zeros(len(q), dtype=bool)
+        starts = np.concatenate(
+            [[0], np.nonzero(q[1:] != q[:-1])[0] + 1, [len(q)]])
+        for i in range(len(starts) - 1):
+            a, b = int(starts[i]), int(starts[i + 1])
+            keep[a:min(b, a + kmap.get(int(q[a]), 0))] = True
+        return pd.DataFrame({
+            "query_id": pd.Series(q[keep], dtype="int32"),
+            "doc_id": pd.Series(d[keep], dtype="int64"),
+            "score": pd.Series(s[keep], dtype="float64")})
+
+    def _merge_topk_local(self, res: DataFrame, live,
+                          extra_pdf: pd.DataFrame | None = None
+                          ) -> DataFrame:
+        """Collect the bounded per-partition top-k and merge driver-side
+        (one collect stage — no exchange, no window, and the returned
+        frame is local so downstream count()/collect() are free).
+        Callers must have checked _merge_bound_ok."""
+        parts = [res.toPandas()]
+        if extra_pdf is not None and len(extra_pdf):
+            parts.append(extra_pdf)
+        merged = self._topk_merge_pdf(parts, live)
+        if not len(merged):
+            return self.spark.createDataFrame([], schemas.RESULTS)
+        return self.spark.createDataFrame(merged, schema=schemas.RESULTS)
 
     def _global_topk(self, res: DataFrame, live) -> DataFrame:
         kdf = _pdf_df(self.spark, {
