@@ -301,10 +301,6 @@ def unpack_rows(bufs, widths: np.ndarray, ns: np.ndarray) -> np.ndarray:
     runs (~2.4 blocks/run) was ~40% of all blocks — measured 2.6 of 10
     CPU-s on an 800-query batch. Integer arithmetic throughout;
     bit-identical to per-block unpack() (equivalence-suite pinned)."""
-    total = int(ns.sum())
-    out = np.empty(total, dtype=np.int64)
-    ends = np.cumsum(ns)
-    starts = ends - ns
     ns = ns.astype(np.int64, copy=False)
     widths = widths.astype(np.int64, copy=False)
     # per-block byte lengths are fixed by the format: ceil(n*w/8)
@@ -314,6 +310,27 @@ def unpack_rows(bufs, widths: np.ndarray, ns: np.ndarray) -> np.ndarray:
         b"".join(bufs) + b"\0" * 8, dtype=np.uint8)
     if len(data) != int(blen.sum()) + 8:
         raise ValueError("packed payload length mismatch vs (n, width)")
+    return unpack_rows_view(data, boff, widths, ns, bufs)
+
+
+def unpack_rows_view(data: np.ndarray, boff: np.ndarray,
+                     widths: np.ndarray, ns: np.ndarray,
+                     bufs=None) -> np.ndarray:
+    """unpack_rows over an already-contiguous payload view: `data` is a
+    uint8 array holding every block's packed payload (block i at byte
+    offset boff[i], boff need not start at 0), padded with >= 8 zero
+    bytes past the last block. This is the zero-copy path for Arrow
+    BinaryArray columns — (values buffer, offsets) come straight from
+    the record batch, no per-block Python bytes objects exist. `bufs`
+    is only the fallback source for the (unreachable with this format)
+    w > 57 case."""
+    ns = ns.astype(np.int64, copy=False)
+    widths = widths.astype(np.int64, copy=False)
+    boff = boff.astype(np.int64, copy=False)
+    total = int(ns.sum())
+    out = np.empty(total, dtype=np.int64)
+    ends = np.cumsum(ns)
+    starts = ends - ns
     for w in np.unique(widths):
         w = int(w)
         sel = np.nonzero(widths == w)[0]
@@ -324,8 +341,10 @@ def unpack_rows(bufs, widths: np.ndarray, ns: np.ndarray) -> np.ndarray:
             continue
         if w > 57:  # not reachable with this format's value ranges
             for i in sel:
-                out[starts[i]:ends[i]] = unpack(
-                    bufs[i], w, int(ns[i]))
+                blen_i = (int(ns[i]) * w + 7) >> 3
+                buf = bufs[i] if bufs is not None else \
+                    data[boff[i]:boff[i] + blen_i].tobytes()
+                out[starts[i]:ends[i]] = unpack(buf, w, int(ns[i]))
             continue
         tot = int(nv.sum())
         within = np.arange(tot, dtype=np.int64) \
@@ -360,6 +379,39 @@ def decode_term_run(bufs_ids, bufs_tfs, bufs_dls, ids_bw, tfs_bw, dls_bw,
     doc_ids = np.cumsum(deltas)
     tfs = unpack_rows(bufs_tfs, tfs_bw, ns) + 1
     dls = unpack_rows(bufs_dls, dls_bw, ns)
+    return doc_ids, tfs, dls
+
+
+def _view_boff(view, bw: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    """Validate an Arrow payload view against the format (every cell's
+    length must be exactly ceil(n*w/8) — anything else would decode
+    silently wrong) and return the per-block start offsets."""
+    _, off = view
+    blen = (ns.astype(np.int64) * bw.astype(np.int64) + 7) >> 3
+    if not np.array_equal(off[1:] - off[:-1], blen):
+        raise ValueError("payload cell lengths mismatch (n, width)")
+    return off[:-1]
+
+
+def decode_term_run_views(ids_view, tfs_view, dls_view,
+                          ids_bw, tfs_bw, dls_bw,
+                          ns, first_doc, last_doc):
+    """decode_term_run over Arrow payload views: each *_view is a
+    (data uint8 padded, cell offsets int64[n+1]) pair straight from a
+    BinaryArray's (values, offsets) buffers — no Python bytes objects
+    anywhere. Same stitch, bit-identical output."""
+    deltas = unpack_rows_view(ids_view[0], _view_boff(ids_view, ids_bw, ns),
+                              ids_bw, ns)
+    ns = ns.astype(np.int64, copy=False)
+    starts = np.cumsum(ns) - ns
+    patch = first_doc.astype(np.int64, copy=True)
+    patch[1:] -= last_doc[:-1]
+    deltas[starts] += patch
+    doc_ids = np.cumsum(deltas)
+    tfs = unpack_rows_view(tfs_view[0], _view_boff(tfs_view, tfs_bw, ns),
+                           tfs_bw, ns) + 1
+    dls = unpack_rows_view(dls_view[0], _view_boff(dls_view, dls_bw, ns),
+                           dls_bw, ns)
     return doc_ids, tfs, dls
 
 

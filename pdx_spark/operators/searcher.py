@@ -87,6 +87,11 @@ _PLAN_SLICE_CAP = 2_000_000
 # n_segment_files x Σk); above this the window merge runs Spark-side
 _MERGE_LOCAL_CAP = int(os.environ.get("PDX_MERGE_LOCAL_CAP", 4_000_000))
 
+# map-scan runs as mapInArrow (payloads decoded from Arrow buffers, no
+# per-cell Python bytes objects); "0" falls back to mapInPandas — the
+# A/B escape hatch, results identical either way
+_ARROW_SCAN = os.environ.get("PDX_ARROW_SCAN", "1") != "0"
+
 # adaptive-planner feedback: after this many consecutive unrouted
 # fallbacks (θ pruned nothing), skip the seed phase; re-probe two-phase
 # after this many bypassed batches OR this many wall seconds (ten
@@ -457,8 +462,31 @@ def _shard_scorer(payload: dict, has_aux: bool):
     return fn
 
 
-def _partition_scorer(payload: dict):
-    """mapInPandas body: score a SCAN partition directly — no cogroup, no
+def _payload_view(arr):
+    """(padded data uint8, offsets int64[n+1]) view of a pyarrow
+    Binary/String array — the per-cell payload bytes without ever
+    materializing Python bytes objects. The data is copied once into a
+    buffer padded with 8 zero bytes so the word-gather decode may read
+    past the last cell."""
+    import pyarrow as pa
+    if arr.null_count:
+        raise ValueError("segment payload column has nulls")
+    large = pa.types.is_large_binary(arr.type) \
+        or pa.types.is_large_string(arr.type)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1],
+                        dtype=np.int64 if large else np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    end = int(off[-1])
+    padded = np.zeros(end + 8, dtype=np.uint8)
+    padded[:end] = data[:end]
+    return padded, off
+
+
+def _partition_scorer(payload: dict, arrow: bool = False):
+    """mapInPandas / mapInArrow body: score a SCAN partition directly —
+    no cogroup, no
     shuffle of the (large, binary) segment frame. Query->shard routing
     rides the closure (payload["routing"]: shard -> set(query_id), or
     None = every query scans every shard).
@@ -485,61 +513,40 @@ def _partition_scorer(payload: dict):
     kmap = {q: k for q, _, k, _ in payload["queries"]}
     base_fn = _shard_scorer(dict(payload, assigned=False), has_aux=False)
     score_shard = base_fn.score_shard
+    avgdl_, params_ = payload["avgdl"], BM25Params(
+        k1=payload["k1"], b=payload["b"])
 
-    def fn(batches):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+    def _finish_lookup(terms_np, decoded, n_a):
+        """Shared tail of the partition-level decode cache: term index
+        over the (term, first_doc)-sorted rows + global value slices."""
+        chg = np.nonzero(terms_np[1:] != terms_np[:-1])[0] + 1
+        st = np.concatenate([[0], chg])
+        en = np.concatenate([chg, [len(terms_np)]])
+        ids_all, tfs_all, dls_all = decoded
+        vend = np.cumsum(n_a)
+        return ({str(terms_np[s]): (s, e) for s, e in zip(st, en)},
+                ids_all,
+                tfnorm_np(tfs_all, dls_all, avgdl_, params_),
+                vend - n_a, vend)
 
-        # partition-level decode cache: each term's blocks across ALL of
-        # this partition's shards decode in ONE pass (a (term, shard)
-        # run averages ~1.5 blocks, so per-shard decode paid numpy's
-        # fixed per-call cost ~100x per term per partition); score_shard
-        # then slices its shard's window out of the ascending ids
+    def _make_part_lookup(build_box):
+        """term -> (absolute doc ids, tfnorm g) for the whole partition,
+        decoded lazily ONCE for all terms. The delta-chain stitch is
+        exact ACROSS term runs (the cumsum through the end of any block
+        equals its last_doc, so the next run-leading block's patch
+        first_doc[i] - last_doc[i-1] lands it at its absolute
+        first_doc — the same int64 arithmetic per block as per-run
+        decode calls, bit-identical). Paying unpack_rows' fixed cost
+        3x per PARTITION instead of 3x per (term, partition) was
+        measured at 4.0 of 5.1 CPU-s on a 200-query batch."""
         box: list = [None]
         pcache: dict[str, tuple] = {}
-        avgdl_, params_ = payload["avgdl"], BM25Params(
-            k1=payload["k1"], b=payload["b"])
 
         def part_lookup(t: str):
             hit = pcache.get(t)
             if hit is None:
                 if box[0] is None:
-                    ps = pdf.sort_values(["term", "first_doc"],
-                                         kind="mergesort")
-                    terms_np = ps["term"].to_numpy()
-                    chg = np.nonzero(terms_np[1:] != terms_np[:-1])[0] + 1
-                    st = np.concatenate([[0], chg])
-                    en = np.concatenate([chg, [len(terms_np)]])
-                    n_a = ps["n"].to_numpy(np.int64)
-                    # ONE decode pass for the whole partition: the
-                    # delta-chain stitch is exact ACROSS term runs too
-                    # (the cumsum through the end of any block equals
-                    # its last_doc, so the next run-leading block's
-                    # patch first_doc[i] - last_doc[i-1] lands it at
-                    # its absolute first_doc — the same int64
-                    # arithmetic per block as per-run decode calls,
-                    # bit-identical). Per-term lookups then slice the
-                    # global arrays, so the per-call fixed cost of
-                    # unpack_rows is paid 3x per PARTITION instead of
-                    # 3x per (term, partition) — measured 4.0 of 5.1
-                    # CPU-s on a 200-query batch before this change.
-                    ids_all, tfs_all, dls_all = decode_term_run(
-                        ps["ids"].to_numpy(), ps["tfs"].to_numpy(),
-                        ps["dls"].to_numpy(),
-                        ps["ids_bw"].to_numpy(np.int64),
-                        ps["tfs_bw"].to_numpy(np.int64),
-                        ps["dls_bw"].to_numpy(np.int64),
-                        n_a,
-                        ps["first_doc"].to_numpy(np.int64),
-                        ps["last_doc"].to_numpy(np.int64))
-                    vend = np.cumsum(n_a)
-                    box[0] = (
-                        {str(terms_np[s]): (s, e) for s, e in zip(st, en)},
-                        ids_all,
-                        tfnorm_np(tfs_all, dls_all, avgdl_, params_),
-                        vend - n_a, vend)
+                    box[0] = build_box()
                 (tidx, ids_all, g_all, vstart, vend) = box[0]
                 se = tidx.get(t)
                 if se is None:
@@ -551,6 +558,44 @@ def _partition_scorer(payload: dict):
                 pcache[t] = hit
             return hit
 
+        return part_lookup
+
+    def _pandas_part_lookup(pdf):
+        def build_box():
+            ps = pdf.sort_values(["term", "first_doc"], kind="mergesort")
+            n_a = ps["n"].to_numpy(np.int64)
+            decoded = decode_term_run(
+                ps["ids"].to_numpy(), ps["tfs"].to_numpy(),
+                ps["dls"].to_numpy(),
+                ps["ids_bw"].to_numpy(np.int64),
+                ps["tfs_bw"].to_numpy(np.int64),
+                ps["dls_bw"].to_numpy(np.int64),
+                n_a,
+                ps["first_doc"].to_numpy(np.int64),
+                ps["last_doc"].to_numpy(np.int64))
+            return _finish_lookup(ps["term"].to_numpy(), decoded, n_a)
+        return _make_part_lookup(build_box)
+
+    def _views_part_lookup(mpdf, views):
+        """Arrow-mode lookup: mpdf is ALREADY (term, first_doc)-sorted
+        (the table was sorted before the payload views were taken, so
+        view cell order == mpdf row order) and payloads decode straight
+        from the BinaryArray buffers — no Python bytes objects."""
+        def build_box():
+            n_a = mpdf["n"].to_numpy(np.int64)
+            from pdx_spark.functions.blocks import decode_term_run_views
+            decoded = decode_term_run_views(
+                views[0], views[1], views[2],
+                mpdf["ids_bw"].to_numpy(np.int64),
+                mpdf["tfs_bw"].to_numpy(np.int64),
+                mpdf["dls_bw"].to_numpy(np.int64),
+                n_a,
+                mpdf["first_doc"].to_numpy(np.int64),
+                mpdf["last_doc"].to_numpy(np.int64))
+            return _finish_lookup(mpdf["term"].to_numpy(), decoded, n_a)
+        return _make_part_lookup(build_box)
+
+    def score_partition(pdf, part_lookup):
         parts = []
         for _, grp in pdf.groupby("shard", sort=False):
             sh = int(grp["shard"].iloc[0])
@@ -571,10 +616,10 @@ def _partition_scorer(payload: dict):
             if len(out):
                 parts.append(out)
         if not parts:
-            return
+            return None
         # per-PARTITION top-k per query: cuts merge input from
         # (shards x Q x k) to (partitions x Q x k) rows — the downstream
-        # window merge then sorts thousands, not millions
+        # merge (driver or window) then sorts thousands, not millions
         allp = parts[0] if len(parts) == 1 else pd.concat(parts,
                                                           ignore_index=True)
         q = allp["query_id"].to_numpy()
@@ -588,9 +633,45 @@ def _partition_scorer(payload: dict):
         for i in range(len(starts) - 1):
             s, e = starts[i], starts[i + 1]
             keep[s:min(e, s + kmap.get(int(qs[s]), 10))] = True
-        yield pd.DataFrame({"query_id": pd.Series(qs[keep], dtype="int32"),
-                            "doc_id": pd.Series(ds[keep], dtype="int64"),
-                            "score": pd.Series(scs[keep], dtype="float64")})
+        return pd.DataFrame({"query_id": pd.Series(qs[keep], dtype="int32"),
+                             "doc_id": pd.Series(ds[keep], dtype="int64"),
+                             "score": pd.Series(scs[keep], dtype="float64")})
+
+    if not arrow:
+        def fn(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pdfs[0] if len(pdfs) == 1 \
+                else pd.concat(pdfs, ignore_index=True)
+            out = score_partition(pdf, _pandas_part_lookup(pdf))
+            if out is not None:
+                yield out
+        return fn
+
+    def fn(batches):
+        """mapInArrow body: the (large, binary) payload columns never
+        become pandas bytes objects — the table is sorted in C++ and the
+        scorer decodes straight from the BinaryArray buffers; only the
+        slim metadata columns cross into pandas."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tab = pa.Table.from_batches(bl)
+        # Arrow string sort is byte-lexicographic == Python str order
+        # for these ASCII tokens; (term, first_doc) is unique per row,
+        # so the order is deterministic
+        tab = tab.take(pc.sort_indices(
+            tab, sort_keys=[("term", "ascending"),
+                            ("first_doc", "ascending")])).combine_chunks()
+        views = tuple(_payload_view(tab.column(c).chunk(0))
+                      for c in ("ids", "tfs", "dls"))
+        mpdf = tab.drop_columns(["ids", "tfs", "dls"]).to_pandas()
+        out = score_partition(mpdf, _views_part_lookup(mpdf, views))
+        if out is not None and len(out):
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
     return fn
 
@@ -1534,7 +1615,7 @@ class Searcher:
                    "routing": routing, "anti_routing": anti_routing,
                    "require_all": bool(getattr(self, "_require_all", False)),
                    "min_match": int(getattr(self, "_min_match", 1))}
-        fn = _partition_scorer(payload)
+        fn = _partition_scorer(payload, arrow=_ARROW_SCAN)
         if routing is not None:
             # routed scans touch few shards; every python task costs a
             # fixed ~0.2-0.3 CPU-s (Arrow runner round-trip) REGARDLESS
@@ -1545,6 +1626,8 @@ class Searcher:
             # shuffle — scan partitions merge). Unrouted/exhaustive
             # scans keep full scan parallelism.
             seg = seg.coalesce(self._routed_task_count(len(routing)))
+        if _ARROW_SCAN:
+            return seg.mapInArrow(fn, schema=schemas.RESULTS)
         return seg.mapInPandas(fn, schema=schemas.RESULTS)
 
     def _scan(self, seg: DataFrame, qspec, idf: dict[str, float],
