@@ -111,11 +111,16 @@ _KIND_QUERY = 1  # (shard, kind=1, id=query_id): per-shard query routing
 # fixed ~0.2 CPU-s (Arrow runner round-trip) regardless of data, so a
 # routed scan over a small slice should run FEW tasks: task count is
 # capped at ceil(routed_bytes / this) in addition to the shard-count and
-# parallelism caps. 8 MiB keeps the fixed cost under ~15% of a task's
-# decode work (measured ~5-6 MB decoded per CPU-second); at 100 TB the
-# byte cap is never the binding term — defaultParallelism is.
+# parallelism caps. 2 MiB balances the two regimes: tiny routed slices
+# (a well-pruned scan) still run 1-2 tasks, while a routed scan whose
+# byte slice is large (seed phase of a big batch, unprunable corpora)
+# fills the cores instead of idling 80% of them — at 8 MiB the bench's
+# forced-two-phase seed scan ran 6 tasks on 32 cores (0.89 s; 0.41 s at
+# 2 MiB, interleaved A/B), and a byte cap below parallelism is exactly
+# what breaks N->4N query scaling. At 100 TB the byte cap is never the
+# binding term — defaultParallelism is.
 _ROUTED_TASK_BYTES = int(os.environ.get("PDX_ROUTED_TASK_BYTES",
-                                        8 * 1024 * 1024))
+                                        2 * 1024 * 1024))
 
 
 
@@ -844,9 +849,21 @@ class Searcher:
         # a real planning cost
         if getattr(self, "_seg_frame", None) is None:
             excl = self.manifest.get("seg_excludes", {})
+            dirs = self.manifest["segment_dirs"] \
+                + self.manifest.get("deltas", [])
+            if not any(excl.get(d) for d in dirs):
+                # one multi-path scan instead of a Union of per-dir
+                # scans: same rows, but a single scan node — smaller
+                # plan, one whole-stage-codegen compile (a fresh
+                # post-append Searcher paid ~0.4 s of first-batch
+                # codegen on the union plan), one task pool
+                self._seg_frame = (
+                    self.spark.read.schema(schemas.SEGMENTS)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(*[self.fs.join(self.path, d) for d in dirs]))
+                return self._seg_frame
             df = None
-            for d in self.manifest["segment_dirs"] \
-                    + self.manifest.get("deltas", []):
+            for d in dirs:
                 part = (self.spark.read.schema(schemas.SEGMENTS)
                         .option("recursiveFileLookup", "true")
                         .parquet(self.fs.join(self.path, d)))
