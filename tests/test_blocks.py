@@ -238,3 +238,136 @@ def test_encode_runs_arrow_matches(seed):
               "ids", "tfs", "dls"):
         refv = [x.item() if hasattr(x, "item") else x for x in ref[k]]
         assert refv == got[k], k
+
+
+def _random_blocks(rng, n_blocks):
+    """Random (bufs, widths, ns, values) with mixed widths, unaligned
+    partial blocks, and zero-width blocks."""
+    bufs, widths, ns, vals = [], [], [], []
+    for _ in range(n_blocks):
+        n = int(rng.integers(1, 40))
+        w = int(rng.integers(0, 21))
+        v = np.zeros(n, np.int64) if w == 0 else \
+            rng.integers(0, 1 << w, size=n).astype(np.int64)
+        bufs.append(pack(v, w))
+        widths.append(w)
+        ns.append(n)
+        vals.append(v)
+    return (np.array(bufs, dtype=object), np.array(widths, np.int64),
+            np.array(ns, np.int64), np.concatenate(vals))
+
+
+def test_unpack_rows_matches_per_block_unpack():
+    """Word-gather unpack_rows == per-block unpack() on mixed widths,
+    including unaligned partial blocks and zero-width blocks."""
+    from pdx_spark.functions.blocks import unpack_rows
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        bufs, widths, ns, want = _random_blocks(rng, int(rng.integers(1, 60)))
+        got = unpack_rows(bufs, widths, ns)
+        assert np.array_equal(got, want), trial
+    # empty input
+    assert len(unpack_rows(np.array([], dtype=object),
+                           np.array([], np.int64),
+                           np.array([], np.int64))) == 0
+
+
+def test_unpack_rows_rejects_length_mismatch():
+    from pdx_spark.functions.blocks import unpack_rows
+    bufs = np.array([pack(np.array([3, 1], np.int64), 4) + b"x"],
+                    dtype=object)  # one stray byte
+    try:
+        unpack_rows(bufs, np.array([4], np.int64), np.array([2], np.int64))
+    except ValueError:
+        return
+    raise AssertionError("length mismatch not detected")
+
+
+def test_decode_term_run_views_matches_bufs():
+    """Arrow-view decode (BinaryArray buffers, incl. a SLICED array with
+    offset != 0) is bit-identical to the bytes-object path, and the
+    cross-run stitch matches per-run decode_term_run calls."""
+    import pyarrow as pa
+    from pdx_spark.functions.blocks import (decode_term_run,
+                                            decode_term_run_views)
+    from pdx_spark.operators.searcher import _payload_view
+    rng = np.random.default_rng(11)
+    params, avgdl = BM25Params(), 33.0
+    # several term runs over one doc range, concatenated as one
+    # (term, first_doc)-sorted frame
+    rows = {k: [] for k in ("ids", "tfs", "dls", "ibw", "tbw", "dbw",
+                            "n", "fd", "ld")}
+    per_run = []
+    for r in range(6):
+        rl = int(rng.integers(1, 300))
+        ids = np.cumsum(rng.integers(1, 50, rl)).astype(np.int64)
+        tfs = rng.integers(1, 30, rl).astype(np.int64)
+        dls = rng.integers(1, 900, rl).astype(np.int64)
+        blocks = encode_blocks(ids, tfs, dls, shard=0, term=f"t{r}",
+                               block_size=32, avgdl=avgdl, params=params)
+        per_run.append((ids, tfs, dls, blocks))
+        for b in blocks:
+            rows["ids"].append(b["ids"]); rows["tfs"].append(b["tfs"])
+            rows["dls"].append(b["dls"]); rows["ibw"].append(b["ids_bw"])
+            rows["tbw"].append(b["tfs_bw"]); rows["dbw"].append(b["dls_bw"])
+            rows["n"].append(b["n"]); rows["fd"].append(b["first_doc"])
+            rows["ld"].append(b["last_doc"])
+    as_np = {k: np.array(v, dtype=object if k in ("ids", "tfs", "dls")
+                         else np.int64) for k, v in rows.items()}
+    # bytes path over ALL runs at once (the cross-run stitch)
+    gi, gt, gd = decode_term_run(
+        as_np["ids"], as_np["tfs"], as_np["dls"], as_np["ibw"],
+        as_np["tbw"], as_np["dbw"], as_np["n"], as_np["fd"], as_np["ld"])
+    # equals per-run decode concatenated
+    want_i = np.concatenate([r[0] for r in per_run])
+    want_t = np.concatenate([r[1] for r in per_run])
+    want_d = np.concatenate([r[2] for r in per_run])
+    assert np.array_equal(gi, want_i)
+    assert np.array_equal(gt, want_t)
+    assert np.array_equal(gd, want_d)
+    # Arrow-view path, including a sliced array (offset != 0)
+    for do_slice in (False, True):
+        views = []
+        for k in ("ids", "tfs", "dls"):
+            cells = list(as_np[k])
+            if do_slice:  # offset != 0: cell starts are not at byte 0
+                arr = pa.array([b"PADCELL"] + cells, type=pa.binary()).slice(1)
+            else:
+                arr = pa.array(cells, type=pa.binary())
+            views.append(_payload_view(arr))
+        vi, vt, vd = decode_term_run_views(
+            views[0], views[1], views[2], as_np["ibw"], as_np["tbw"],
+            as_np["dbw"], as_np["n"], as_np["fd"], as_np["ld"])
+        assert np.array_equal(vi, want_i), do_slice
+        assert np.array_equal(vt, want_t), do_slice
+        assert np.array_equal(vd, want_d), do_slice
+
+
+def test_topk_merge_pdf_matches_window_semantics():
+    """Driver-side merge == (score desc, doc_id asc) window top-k per
+    query, ties included deterministically."""
+    import pandas as pd
+    from pdx_spark.operators.searcher import Searcher
+    rng = np.random.default_rng(5)
+    n = 500
+    pdf = pd.DataFrame({
+        "query_id": pd.Series(rng.integers(0, 9, n), dtype="int32"),
+        "doc_id": pd.Series(rng.choice(10_000, n, replace=False),
+                            dtype="int64"),
+        # few distinct scores -> plenty of ties
+        "score": pd.Series(rng.integers(0, 5, n) / 2.0, dtype="float64")})
+    live = [(q, ["t"], int(rng.integers(1, 8))) for q in range(9)]
+    got = Searcher._topk_merge_pdf([pdf], live)
+    kmap = dict((q, k) for q, _, k in live)
+    want = (pdf.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+            .groupby("query_id", sort=True)
+            .apply(lambda g: g.head(kmap[int(g.name)]))
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    assert np.array_equal(got["query_id"].to_numpy(),
+                          want["query_id"].to_numpy())
+    assert np.array_equal(got["doc_id"].to_numpy(),
+                          want["doc_id"].to_numpy())
+    assert np.array_equal(got["score"].to_numpy(),
+                          want["score"].to_numpy())
