@@ -325,3 +325,43 @@ def test_assign_doc_ids_driver_path_matches_scale_path(spark, tiny_df,
     slow = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
             for r in C.assign_doc_ids(df).collect()}
     assert fast == slow and len(fast) == df.count()
+
+
+def test_assign_doc_ids_conv_rank_path(spark, tiny_df, monkeypatch):
+    """The conversation-level rank fast path (dense turn_idx proven per
+    conv) must produce exactly the per-key fast path's ids, must be the
+    path actually taken on a dense corpus, and must FALL BACK when any
+    conversation's turn_idx is not dense-from-zero."""
+    monkeypatch.setenv("PDX_ASSIGN_IDS_LOCAL_CAP", "1000000")
+    want = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in C._assign_ids_driver(tiny_df, 1_000_000).collect()}
+
+    # dense corpus: the conv path handles it (per-key path must not run)
+    def boom(*a, **k):
+        raise AssertionError("per-key path ran on a dense corpus")
+    monkeypatch.setattr(C, "_assign_ids_driver", boom)
+    got = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+           for r in C.assign_doc_ids(tiny_df).collect()}
+    assert got == want and len(got) == tiny_df.count()
+    monkeypatch.undo()
+
+    # non-dense conv (turn_idx gap) -> conv path declines, per-key path
+    # still ranks correctly
+    import pandas as pd
+
+    from pdx_spark.schemas import TRANSCRIPTS
+    extra = pd.DataFrame({
+        "conv_id": ["gapconv", "gapconv"],
+        "turn_idx": [0, 7],  # gap: not {0..n-1}
+        "role": ["user"] * 2,
+        "text": ["a"] * 2,
+        "tool": [None] * 2,
+        "ts": pd.to_datetime(["2031-01-01"] * 2, utc=True)})
+    df = tiny_df.unionByName(spark.createDataFrame(extra, schema=TRANSCRIPTS))
+    assert C._assign_ids_conv_driver(df, 1_000_000) is None
+    fast = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in C.assign_doc_ids(df).collect()}
+    monkeypatch.setenv("PDX_ASSIGN_IDS_LOCAL_CAP", "0")
+    slow = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in C.assign_doc_ids(df).collect()}
+    assert fast == slow and len(fast) == df.count()
